@@ -1,0 +1,76 @@
+"""Colorspace conversion and 4:2:0 chroma subsampling.
+
+Reference behavior: image_processing.c:68-110 (BT.601 full-range RGB ->
+YCbCr in C doubles with (unsigned char) truncation) and :114-133 (2x2 box
+average with C integer division).
+
+Bit-exactness note: the compat path must reproduce C double arithmetic.
+IEEE-754 f64 elementwise numpy ops with the same association order are
+identical to the C expression, so `rgb_to_ycbcr_exact` is the compat
+kernel (host-side, verified against the reference's .bit plane dumps).
+The device fast path uses f32 (`rgb_to_ycbcr` with xp=jnp), which can
+differ from C by 1 ulp on near-integer sums — fine for correct mode,
+not used in compat mode.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def rgb_to_ycbcr_exact(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(H, W, 3) uint8 -> three (H, W) uint8 planes, C-double-exact."""
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = (0.299 * r + 0.587 * g + 0.114 * b).astype(np.uint8)
+    cb = (128 - 0.168736 * r - 0.331264 * g + 0.5 * b).astype(np.uint8)
+    cr = (128 + 0.5 * r - 0.418688 * g - 0.081312 * b).astype(np.uint8)
+    return y, cb, cr
+
+
+def rgb_to_ycbcr(rgb, xp=np):
+    """Device-friendly f32 variant; batched (..., H, W, 3) u8 -> (..., H, W) x3."""
+    f = rgb.astype(xp.float32)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    to_u8 = lambda v: xp.clip(v, 0.0, 255.0).astype(xp.uint8)
+    return to_u8(y), to_u8(cb), to_u8(cr)
+
+
+def subsample_420(plane, xp=np):
+    """2x2 box average, C integer division (image_processing.c:114-133).
+
+    (..., H, W) u8 -> (..., H//2, W//2) u8.  Sum of four u8 fits in u16;
+    //4 on non-negative ints == C truncating division.
+    """
+    h, w = plane.shape[-2], plane.shape[-1]
+    p = plane[..., : h - h % 2, : w - w % 2].astype(xp.int32)
+    s = (
+        p[..., 0::2, 0::2]
+        + p[..., 0::2, 1::2]
+        + p[..., 1::2, 0::2]
+        + p[..., 1::2, 1::2]
+    )
+    return (s // 4).astype(xp.uint8)
+
+
+def upsample_420(plane, xp=np):
+    """Nearest-neighbour 2x replication (image_processing.c:607-638)."""
+    return xp.repeat(xp.repeat(plane, 2, axis=-2), 2, axis=-1)
+
+
+def ycbcr_to_rgb_f32(y, cb, cr, xp=np):
+    """BT.601 inverse for the verification decoder (image_processing.c:678-686
+    constants; implemented correctly — the reference's own function reads
+    Y/Cb/Cr all from the same buffer by mistake and is never called)."""
+    yf = y.astype(xp.float32)
+    cbf = cb.astype(xp.float32) - 128.0
+    crf = cr.astype(xp.float32) - 128.0
+    r = yf + 1.402 * crf
+    g = yf - 0.344136 * cbf - 0.714136 * crf
+    b = yf + 1.772 * cbf
+    u8 = lambda v: xp.clip(v, 0.0, 255.0).astype(xp.uint8)
+    return xp.stack([u8(r), u8(g), u8(b)], axis=-1)
