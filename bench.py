@@ -1,0 +1,135 @@
+#!/usr/bin/env python3
+"""Benchmark harness.
+
+Headline metric (BASELINE.json): encoded frames/s/chip at 1080p, measured
+on the correct-mode device pipeline with device-resident frames (the
+dev-container TPU is reached through a slow relay tunnel, so host<->device
+transfer is timed separately and excluded from the kernel number, as the
+survey prescribes: "separating JPEG-decode (host) from encode (device)").
+
+vs_baseline: the reference C encoder is re-built and re-run on its fixture
+workload per run (BASELINE.md demands re-measurement, the reference
+publishes no numbers).  The reference only ever encodes a hard 96x144
+crop (SURVEY.md Q2), so its frames/s is converted to an area-normalized
+1080p-equivalent rate for comparison.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+REF_SRC = "/root/reference"
+REF_BUILD = "/tmp/ec504_bench_ref"
+
+W1080, H1080 = 1920, 1080
+PAD_H = 1088  # 1080 padded to MB multiple
+BATCH = 8
+QUALITY = 50
+ITERS = 5
+
+
+def measure_reference() -> dict:
+    """Build + run the reference C encoder on its fixtures; frames/s."""
+    try:
+        if not os.path.exists(os.path.join(REF_BUILD, "encoder")):
+            shutil.rmtree(REF_BUILD, ignore_errors=True)
+            shutil.copytree(REF_SRC, REF_BUILD)
+            subprocess.run(["make", "all"], cwd=REF_BUILD, check=True,
+                           capture_output=True)
+            subprocess.run(["unzip", "-q", "images.zip", "-d", "imgdir"],
+                           cwd=REF_BUILD, check=True)
+            os.makedirs(os.path.join(REF_BUILD, "images"), exist_ok=True)
+            for f in os.listdir(os.path.join(REF_BUILD, "imgdir")):
+                shutil.copy(os.path.join(REF_BUILD, "imgdir", f),
+                            os.path.join(REF_BUILD, "images", f))
+        os.makedirs(os.path.join(REF_BUILD, "bitstreams"), exist_ok=True)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            subprocess.run(["./encoder"], cwd=REF_BUILD, check=True,
+                           stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+            best = min(best, time.perf_counter() - t0)
+        n_frames = 30
+        fps_crop = n_frames / best
+        # area-normalize the 96x144 crop to a 1080p frame
+        fps_1080_equiv = fps_crop * (96 * 144) / (W1080 * PAD_H)
+        return {"wall_s": best, "fps_crop": fps_crop,
+                "fps_1080_equiv": fps_1080_equiv}
+    except Exception as e:  # reference unavailable: report absolute only
+        return {"error": str(e), "fps_1080_equiv": None}
+
+
+def measure_tpu_1080p() -> dict:
+    import jax
+
+    from ec504_imageencoder_tpu.models.mpeg1 import (
+        _jitted_correct_pipeline,
+        quality_to_quant,
+    )
+
+    intra_q, qscale = quality_to_quant(QUALITY)
+    max_slice_bytes = 16384
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, (BATCH, PAD_H, W1080, 3), dtype=np.uint8)
+
+    fn = _jitted_correct_pipeline(qscale, max_slice_bytes)
+
+    t0 = time.perf_counter()
+    frames_dev = jax.device_put(frames)
+    intra_dev = jax.device_put(intra_q)
+    jax.block_until_ready((frames_dev, intra_dev))
+    t_upload = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(fn(frames_dev, intra_dev))
+    t_compile = time.perf_counter() - t0
+
+    times = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(fn(frames_dev, intra_dev))
+        times.append(time.perf_counter() - t0)
+    step = min(times)
+
+    # sanity: materialize the bit lengths on host (tiny transfer)
+    bits = np.asarray(out[1])
+    total_bytes = int(((bits + 7) // 8).sum())
+    return {
+        "device": str(jax.devices()[0]),
+        "fps": BATCH / step,
+        "step_s": step,
+        "upload_s": t_upload,
+        "compile_s": t_compile,
+        "stream_bytes_per_frame": total_bytes // BATCH,
+    }
+
+
+def main() -> None:
+    ref = measure_reference()
+    tpu = measure_tpu_1080p()
+    value = tpu["fps"]
+    base = ref.get("fps_1080_equiv")
+    vs = (value / base) if base else None
+    print(json.dumps({
+        "metric": "1080p intra encode frames/s/chip (device pipeline)",
+        "value": round(value, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(vs, 1) if vs is not None else None,
+    }))
+    # diagnostics on stderr so stdout stays a single JSON line
+    print(json.dumps({"reference": ref, "tpu": tpu}), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""Command-line interface.
+
+Covers the reference's entry surface (main.c:15-17 /
+mpeg_encode_procedure, encoder.h:20) and extends it with correct mode,
+quality, GOP, frame-rate, backend and mesh controls.
+
+    mpeg-encode images/ -o out.mpeg                        # correct mode
+    mpeg-encode images/ -o awesome_video.mpeg --mode compat \
+        --bitstream-dir bitstreams -q 12                   # reference parity
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mpeg-encode",
+        description="TPU-native MPEG-1 intra-frame encoder",
+    )
+    p.add_argument("images", help="folder of input JPEG frames")
+    p.add_argument("-o", "--output", default="awesome_video.mpeg",
+                   help="output .mpeg path")
+    p.add_argument("--mode", choices=["correct", "compat"], default="correct",
+                   help="'correct' = ISO-compliant stream; 'compat' = "
+                        "bit-exact reproduction of the reference encoder")
+    p.add_argument("-q", "--quality", type=int, default=None,
+                   help="quality factor 1-100 (default: 12 in compat mode "
+                        "to match the reference CLI, else 50)")
+    p.add_argument("--bitstream-dir", default=None,
+                   help="also write per-image raw YCbCr .bit dumps here "
+                        "(reference behavior)")
+    p.add_argument("--backend", choices=["jax", "numpy"], default="jax")
+    p.add_argument("--gop", type=int, default=15, help="GOP size (correct mode)")
+    p.add_argument("--frame-rate-code", type=int, default=3,
+                   help="MPEG-1 frame rate code (3 = 25fps)")
+    p.add_argument("--batch", type=int, default=16,
+                   help="frames per device batch (correct mode)")
+    p.add_argument("--mesh", default=None,
+                   help="use all devices as DATAxROWS mesh, e.g. '4,2'")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace into DIR")
+    p.add_argument("--metrics", action="store_true",
+                   help="print per-stage metrics to stderr")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from ec504_imageencoder_tpu.io.jpeg import load_folder
+    from ec504_imageencoder_tpu.utils.metrics import EncodeMetrics
+
+    quality = args.quality
+    metrics = EncodeMetrics()
+
+    t0 = time.perf_counter()
+    frames, names = load_folder(args.images, require_exact=False)
+    metrics.add("decode_s", time.perf_counter() - t0)
+    metrics.set("frames", len(frames))
+    metrics.set("resolution", f"{frames.shape[2]}x{frames.shape[1]}")
+
+    profile_ctx = None
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace(args.profile)
+        profile_ctx = True
+
+    t0 = time.perf_counter()
+    if args.mode == "compat":
+        from ec504_imageencoder_tpu.models.encoder import encode_compat
+
+        data, dumps = encode_compat(
+            frames, 12 if quality is None else quality, backend=args.backend
+        )
+    else:
+        from ec504_imageencoder_tpu.models.mpeg1 import MPEG1IntraEncoder
+        from ec504_imageencoder_tpu.syntax import headers
+
+        if args.mesh:
+            from ec504_imageencoder_tpu.parallel import mesh as mesh_lib
+            from ec504_imageencoder_tpu.parallel.sharded_encoder import (
+                ShardedMPEG1Encoder,
+            )
+
+            nd, nr = (int(x) for x in args.mesh.split(","))
+            enc = ShardedMPEG1Encoder(
+                quality=50 if quality is None else quality,
+                frame_rate_code=args.frame_rate_code,
+                gop_size=args.gop,
+                backend=args.backend,
+                mesh=mesh_lib.make_mesh(nd, nr),
+            )
+        else:
+            enc = MPEG1IntraEncoder(
+                quality=50 if quality is None else quality,
+                frame_rate_code=args.frame_rate_code,
+                gop_size=args.gop,
+                backend=args.backend,
+            )
+        chunks = []
+        for start in range(0, len(frames), args.batch):
+            chunks.append(
+                enc.encode(frames[start : start + args.batch], first_frame_index=start)
+            )
+        data = b"".join(chunks) + headers.sequence_end()
+        dumps = None
+        if args.bitstream_dir:
+            from ec504_imageencoder_tpu.ops.color import rgb_to_ycbcr_exact
+
+            y, cb, cr = rgb_to_ycbcr_exact(frames)
+            dumps = [
+                headers.raw_plane_dump(
+                    frames.shape[2], frames.shape[1],
+                    y[i].reshape(-1), cb[i].reshape(-1), cr[i].reshape(-1),
+                )
+                for i in range(len(frames))
+            ]
+    metrics.add("encode_s", time.perf_counter() - t0)
+
+    if profile_ctx:
+        import jax
+
+        jax.profiler.stop_trace()
+
+    with open(args.output, "wb") as f:
+        f.write(data)
+    metrics.set("stream_bytes", len(data))
+
+    if args.bitstream_dir and dumps:
+        os.makedirs(args.bitstream_dir, exist_ok=True)
+        for i, d in enumerate(dumps):
+            with open(os.path.join(args.bitstream_dir, f"image_{i + 1}.bit"), "wb") as f:
+                f.write(d)
+
+    print(f"wrote {args.output}: {len(data)} bytes, {len(frames)} frames")
+    if args.metrics:
+        print(metrics.report(), file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,117 @@
+"""JPEG input: folder scanning and decoding.
+
+Mirrors the reference's intake behavior (encoder.h:140-171): files whose
+names *contain* ".jpg"/".jpeg" (strstr semantics), in readdir order
+(os.scandir preserves it on the same filesystem), with per-file skip on
+decode failure and a dimension-match check (image_processing.c:48-66).
+
+Decoder backends, in priority order:
+  1. the native stb-compatible decoder (io/native/libstbjpeg.so) — matches
+     the reference's vendored stb_image output byte-for-byte, which the
+     compat bit-exactness gate requires (stb's IDCT/upsample/YCbCr math
+     differs from libjpeg's);
+  2. PIL/libjpeg — pixel values may differ by ±1 from stb; fine for
+     correct-mode encoding, flagged for compat mode.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import warnings
+
+import numpy as np
+
+_NATIVE_PATH = os.path.join(os.path.dirname(__file__), "native", "libstbjpeg.so")
+_native = None
+
+
+def _load_native():
+    global _native
+    if _native is None and os.path.exists(_NATIVE_PATH):
+        lib = ctypes.CDLL(_NATIVE_PATH)
+        lib.stbj_decode_file.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.stbj_decode_file.restype = ctypes.POINTER(ctypes.c_ubyte)
+        lib.stbj_free.argtypes = [ctypes.POINTER(ctypes.c_ubyte)]
+        _native = lib
+    return _native
+
+
+def have_native_decoder() -> bool:
+    return _load_native() is not None
+
+
+def decode_jpeg(path: str, require_exact: bool = False) -> np.ndarray:
+    """Decode one JPEG to (H, W, 3) uint8 RGB."""
+    lib = _load_native()
+    if lib is not None:
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        c = ctypes.c_int()
+        ptr = lib.stbj_decode_file(path.encode(), w, h, c)
+        if ptr:
+            try:
+                n = w.value * h.value * c.value
+                arr = np.ctypeslib.as_array(ptr, shape=(n,)).copy()
+            finally:
+                lib.stbj_free(ptr)
+            img = arr.reshape(h.value, w.value, c.value)
+            return img[..., :3] if c.value >= 3 else np.repeat(img, 3, axis=-1)
+    if require_exact:
+        raise RuntimeError(
+            "compat mode requires the stb-compatible native JPEG decoder "
+            "(build ec504_imageencoder_tpu/io/native); PIL output is not "
+            "bit-exact against the reference"
+        )
+    from PIL import Image
+
+    warnings.warn(
+        "using PIL JPEG decoding; pixels may differ slightly from the "
+        "reference's stb_image (compat bitstreams will not be bit-exact)",
+        stacklevel=2,
+    )
+    return np.asarray(Image.open(path).convert("RGB"))
+
+
+def scan_folder(folder: str) -> list[str]:
+    """Image paths in readdir order with the reference's strstr filter."""
+    out = []
+    for entry in os.scandir(folder):
+        if ".jpg" in entry.name or ".jpeg" in entry.name:
+            out.append(entry.path)
+    return out
+
+
+def load_folder(
+    folder: str, require_exact: bool = False
+) -> tuple[np.ndarray, list[str]]:
+    """Decode all JPEGs in a folder -> ((B, H, W, 3) u8, kept paths).
+
+    Files that fail to decode are skipped (reference encoder.h:163-167);
+    mismatched dimensions raise (image_processing.c:48-66 aborts).
+    """
+    frames = []
+    names = []
+    for path in scan_folder(folder):
+        try:
+            frames.append(decode_jpeg(path, require_exact))
+            names.append(path)
+        except RuntimeError:
+            raise
+        except Exception as e:  # skip-on-bad-image semantics
+            warnings.warn(f"skipping {path}: {e}", stacklevel=2)
+    if not frames:
+        raise ValueError(f"no decodable images found in {folder}")
+    shape = frames[0].shape
+    for p, f in zip(names, frames):
+        if f.shape != shape:
+            raise ValueError(
+                f"image dimensions do not match: {p} is {f.shape}, "
+                f"expected {shape}"
+            )
+    return np.stack(frames), names

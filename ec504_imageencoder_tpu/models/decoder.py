@@ -1,0 +1,280 @@
+"""MPEG-1 intra video elementary stream decoder (verification oracle).
+
+There is no ffmpeg in this environment, so compliance of the correct-mode
+encoder is checked with this independent decoder: it parses the ES
+bit-by-bit straight from ISO 11172-2 semantics (sequence/GOP/picture/
+slice/macroblock/block layers, custom intra matrices, differential DC,
+signed AC VLCs, escapes, mismatch control) and reconstructs RGB frames
+for PSNR measurement.  It shares only the static code tables with the
+encoder — the decode path is written against the spec, not against the
+encoder's structure, so it catches asymmetric bugs.
+
+Realizes the reference's latent decode direction (image_processing.c:
+438-693, never called there) as a working verifier.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ec504_imageencoder_tpu.ops.color import upsample_420, ycbcr_to_rgb_f32
+from ec504_imageencoder_tpu.ops.dct import dct_matrix_f32
+from ec504_imageencoder_tpu.utils import tables
+
+
+class BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.data[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def peek(self, n: int) -> int:
+        save = self.pos
+        v = self.read(n)
+        self.pos = save
+        return v
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+    def at_start_code(self) -> bool:
+        self.align()
+        byte = self.pos >> 3
+        return self.data[byte : byte + 3] == b"\x00\x00\x01"
+
+    def next_start_code(self) -> int | None:
+        """Align and scan to the next 00 00 01 xx; returns xx."""
+        self.align()
+        byte = self.pos >> 3
+        while byte + 4 <= len(self.data):
+            if self.data[byte : byte + 3] == b"\x00\x00\x01":
+                self.pos = (byte + 4) << 3
+                return self.data[byte + 3]
+            byte += 1
+        return None
+
+
+def _prefix_decoder(pairs):
+    """{bitstring: value} -> function(reader) -> value."""
+    table = dict(pairs)
+    maxlen = max(len(k) for k in table)
+
+    def decode(r: BitReader):
+        bits = ""
+        for _ in range(maxlen):
+            bits += str(r.read(1))
+            if bits in table:
+                return table[bits]
+        raise ValueError(f"invalid VLC prefix {bits!r} at bit {r.pos}")
+
+    return decode
+
+
+def _build_decoders():
+    dc_luma = _prefix_decoder(
+        (format(int(c), f"0{int(l)}b"), s)
+        for s, (c, l) in enumerate(zip(tables.DC_SIZE_LUMA_CODE, tables.DC_SIZE_LUMA_LEN))
+    )
+    dc_chroma = _prefix_decoder(
+        (format(int(c), f"0{int(l)}b"), s)
+        for s, (c, l) in enumerate(zip(tables.DC_SIZE_CHROMA_CODE, tables.DC_SIZE_CHROMA_LEN))
+    )
+    ac_entries = {"10": "eob", "000001": "esc", "11": (0, 1)}
+    for run in range(32):
+        for lvl in range(41):
+            ln = int(tables.AC_LEN_CORRECT[run, lvl])
+            if ln:
+                ac_entries[format(int(tables.AC_CODE_CORRECT[run, lvl]), f"0{ln}b")] = (run, lvl)
+    ac = _prefix_decoder(ac_entries.items())
+    mba = _prefix_decoder(
+        (format(int(c), f"0{int(l)}b"), v)
+        for v, (c, l) in enumerate(zip(tables.MB_ADDRESS_CODE, tables.MB_ADDRESS_LEN))
+        if l
+    )
+    return dc_luma, dc_chroma, ac, mba
+
+
+_DC_LUMA_DEC, _DC_CHROMA_DEC, _AC_DEC, _MBA_DEC = _build_decoders()
+
+
+@dataclass
+class SequenceInfo:
+    width: int
+    height: int
+    aspect: int
+    frame_rate_code: int
+    intra_matrix: np.ndarray = field(default_factory=lambda: tables.INTRA_Q_MATRIX.copy())
+
+
+def _read_sequence_header(r: BitReader) -> SequenceInfo:
+    w = r.read(12)
+    h = r.read(12)
+    aspect = r.read(4)
+    rate = r.read(4)
+    r.read(18)  # bitrate
+    assert r.read(1) == 1, "marker bit"
+    r.read(10)  # vbv
+    r.read(1)   # constrained
+    if r.read(1):  # load_intra_quantizer_matrix
+        zz = np.array([r.read(8) for _ in range(64)], np.int32)
+        m = np.empty(64, np.int32)
+        m[tables.ZIGZAG_GATHER] = zz  # undo zigzag transmission order
+        intra = m.reshape(8, 8)
+    else:
+        intra = tables.INTRA_Q_MATRIX.copy()
+    if r.read(1):  # load_non_intra
+        for _ in range(64):
+            r.read(8)
+    return SequenceInfo(w, h, aspect, rate, intra)
+
+
+def _decode_block(r: BitReader, is_luma: bool, dc_pred: int, intra_q: np.ndarray, qscale: int):
+    """Returns (reconstructed F (8,8) int32, new dc_pred)."""
+    size = (_DC_LUMA_DEC if is_luma else _DC_CHROMA_DEC)(r)
+    if size:
+        bits = r.read(size)
+        diff = bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+    else:
+        diff = 0
+    dc_level = dc_pred + diff
+    coeffs = np.zeros(64, np.int32)
+    coeffs[0] = dc_level * 8
+    idx = 0
+    while True:
+        sym = _AC_DEC(r)
+        if sym == "eob":
+            break
+        if sym == "esc":
+            run = r.read(6)
+            b1 = r.read(8)
+            if b1 == 0x00:
+                level = r.read(8)
+            elif b1 == 0x80:
+                level = r.read(8) - 256
+            else:
+                level = b1 - 256 if b1 & 0x80 else b1
+        else:
+            run, level = sym
+            if r.read(1):
+                level = -level
+        idx += run + 1
+        if idx > 63:
+            raise ValueError(f"AC index overflow at bit {r.pos}")
+        # ZIGZAG_GATHER[k] = flat block index of scan position k
+        zr, zc = divmod(int(tables.ZIGZAG_GATHER[idx]), 8)
+        # reconstruction per ISO 11172-2 §2.4.4.2 (intra): truncating
+        # division, mismatch control toward zero, clamp
+        f = 2 * level * qscale * int(intra_q[zr, zc])
+        f = (abs(f) // 16) * (1 if f >= 0 else -1)
+        if f > 0 and f % 2 == 0:
+            f -= 1
+        elif f < 0 and (-f) % 2 == 0:
+            f += 1
+        f = max(-2048, min(2047, f))
+        coeffs[zr * 8 + zc] = f
+    return coeffs.reshape(8, 8), dc_level
+
+
+_DCT_M = dct_matrix_f32().astype(np.float64)
+
+
+def _idct(f: np.ndarray) -> np.ndarray:
+    pix = _DCT_M.T @ f.astype(np.float64) @ _DCT_M
+    return np.clip(np.round(pix), 0, 255).astype(np.uint8)
+
+
+def decode_es(data: bytes) -> list[np.ndarray]:
+    """Decode an all-intra MPEG-1 video ES into RGB frames."""
+    r = BitReader(data)
+    frames: list[np.ndarray] = []
+    seq: SequenceInfo | None = None
+    cur = None  # (y, cb, cr) planes for the current picture
+
+    def flush():
+        nonlocal cur
+        if cur is not None:
+            y, cb, cr = cur
+            rgb = ycbcr_to_rgb_f32(y, upsample_420(cb), upsample_420(cr))
+            frames.append(rgb[: seq.height, : seq.width])
+            cur = None
+
+    while True:
+        code = r.next_start_code()
+        if code is None:
+            flush()
+            break
+        if code == 0xB3:
+            seq = _read_sequence_header(r)
+        elif code == 0xB8:
+            r.read(32)  # timecode etc.
+        elif code == 0x00:
+            flush()
+            r.read(10)  # temporal ref
+            ptype = r.read(3)
+            if ptype != 1:
+                raise ValueError(f"only I pictures supported, got {ptype}")
+            r.read(16)  # vbv_delay
+            mbw = (seq.width + 15) // 16
+            mbh = (seq.height + 15) // 16
+            cur = (
+                np.zeros((mbh * 16, mbw * 16), np.uint8),
+                np.zeros((mbh * 8, mbw * 8), np.uint8),
+                np.zeros((mbh * 8, mbw * 8), np.uint8),
+            )
+        elif code == 0xB7:
+            flush()
+            break
+        elif 0x01 <= code <= 0xAF:
+            row = code - 1
+            qscale = r.read(5)
+            while r.read(1):
+                r.read(8)  # extra slice info
+            mbw = (seq.width + 15) // 16
+            y, cb, cr = cur
+            dc_y = dc_cb = dc_cr = 128
+            mb_addr = -1
+            while True:
+                inc = _MBA_DEC(r)
+                while inc == tables.MB_ESCAPE:
+                    mb_addr += 33
+                    inc = _MBA_DEC(r)
+                if inc == tables.MB_STUFFING:
+                    continue
+                mb_addr += inc
+                col = mb_addr % mbw
+                # macroblock_type for I: '1' = intra, '01' = intra+quant
+                if not r.read(1):
+                    assert r.read(1) == 1, "bad macroblock type"
+                    qscale = r.read(5)
+                for b in range(4):
+                    f, dc_y = _decode_block(r, True, dc_y, seq.intra_matrix, qscale)
+                    br, bc = row * 16 + (b // 2) * 8, col * 16 + (b % 2) * 8
+                    y[br : br + 8, bc : bc + 8] = _idct(f)
+                f, dc_cb = _decode_block(r, False, dc_cb, seq.intra_matrix, qscale)
+                cb[row * 8 : row * 8 + 8, col * 8 : col * 8 + 8] = _idct(f)
+                f, dc_cr = _decode_block(r, False, dc_cr, seq.intra_matrix, qscale)
+                cr[row * 8 : row * 8 + 8, col * 8 : col * 8 + 8] = _idct(f)
+                # byte-aligned zero padding before the next start code ends
+                # the slice; detect: all remaining bits to alignment zero
+                # and the following bytes are 00 00 01
+                save = r.pos
+                if r.at_start_code():
+                    break
+                r.pos = save
+    return frames
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)

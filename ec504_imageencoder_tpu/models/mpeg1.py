@@ -1,0 +1,282 @@
+"""Correct-mode MPEG-1 intra encoder: ISO 11172-2-compliant, any resolution.
+
+This is the flagship production path.  Where compat mode reproduces the
+reference's bug surface (SURVEY.md §2.9), this encoder fixes all of it:
+
+  * real 12-bit dimensions, frames padded to macroblock multiples (Q1/Q2)
+  * chroma encoded from the actual 4:2:0 subsampled planes (Q3)
+  * signed AC coefficients, ISO run/level table indexing (Q4, table bug)
+  * no run-0 truncation — every coefficient is coded (Q5)
+  * differential DC prediction with per-slice reset (Q6)
+  * one slice per macroblock row, proper GOP/timecode/temporal_ref (Q10)
+  * real sequence_end_code (Q8)
+
+Output is a clean MPEG-1 *video elementary stream* playable by standard
+decoders; system-layer muxing (pack/PES) is available separately via
+syntax.headers for parity with the reference's container.
+
+The whole per-frame pipeline — RGB->YCbCr, 4:2:0, blockize, integer AAN
+DCT, ISO intra quantization, zigzag, differential DC, vectorized VLC,
+prefix-sum bit packing — is one jitted XLA program; slices (macroblock
+rows) are independent bitstream islands, which is what makes both the
+MB-row sharding axis and the frame sharding axis embarrassingly parallel
+(parallel/ wires those through jax.sharding).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ec504_imageencoder_tpu.ops.bitpack import pack_bytes
+from ec504_imageencoder_tpu.ops.color import rgb_to_ycbcr, subsample_420
+from ec504_imageencoder_tpu.ops.dct import aan_dct
+from ec504_imageencoder_tpu.ops.quant import exact_div_floor
+from ec504_imageencoder_tpu.ops.vlc_device import block_streams_correct
+from ec504_imageencoder_tpu.ops.zigzag import zigzag_scan
+from ec504_imageencoder_tpu.syntax import headers
+from ec504_imageencoder_tpu.syntax.bitwriter import BitWriter
+from ec504_imageencoder_tpu.utils.tables import (
+    INTRA_Q_MATRIX,
+    ZIGZAG_GATHER,
+    scale_quantization_matrix,
+)
+
+FRAME_RATE_CODES = {
+    23.976: 1, 24.0: 2, 25.0: 3, 29.97: 4, 30.0: 5, 50.0: 6, 59.94: 7, 60.0: 8,
+}
+FRAME_RATE_VALUES = {v: k for k, v in FRAME_RATE_CODES.items()}
+
+
+def quality_to_quant(quality: int) -> tuple[np.ndarray, int]:
+    """Map JPEG-style quality in [1,100] to (intra matrix u8, quant_scale).
+
+    The JPEG-style scaled matrix (reference semantics) becomes the custom
+    intra quantizer matrix, with quantizer_scale absorbing any factor that
+    exceeds the 8-bit matrix entry range.  Reconstruction divisor is
+    quant_scale * W / 8, so quant_scale == 8 with W == M reproduces the
+    same step sizes as compat mode.
+    """
+    m = scale_quantization_matrix(quality).astype(np.int64)
+    s = max(1, int(np.ceil(m.max() / 255.0)))
+    qscale = int(np.clip(8 * s, 1, 31))
+    w = np.clip(np.round(8.0 * m / qscale), 1, 255).astype(np.int32)
+    return w, qscale
+
+
+def pad_to_macroblocks(frames: np.ndarray) -> np.ndarray:
+    """Edge-replicate (B, H, W, 3) frames to multiples of 16."""
+    h, w = frames.shape[1:3]
+    ph, pw = -h % 16, -w % 16
+    if ph or pw:
+        frames = np.pad(frames, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+    return frames
+
+
+def correct_pipeline(rgb, intra_q, qscale, max_slice_bytes, xp=np):
+    """(B, H, W, 3) u8 (H, W multiples of 16) ->
+    ((B, mb_h, max_slice_bytes) u8 slice segments, (B, mb_h) i32 bit lens).
+    """
+    bsz, h, w = rgb.shape[:3]
+    mbh, mbw = h // 16, w // 16
+
+    y, cb, cr = rgb_to_ycbcr(rgb, xp)
+    cb = subsample_420(cb, xp)
+    cr = subsample_420(cr, xp)
+
+    def blockgrid(p):
+        hh, ww = p.shape[-2], p.shape[-1]
+        g = p.reshape(bsz, hh // 8, 8, ww // 8, 8)
+        return g.transpose(0, 1, 3, 2, 4)  # (B, rows8, cols8, 8, 8)
+
+    lg = blockgrid(y)
+    b_idx = np.arange(4)
+    rows = 2 * np.arange(mbh)[:, None, None] + b_idx[None, None, :] // 2
+    cols = 2 * np.arange(mbw)[None, :, None] + b_idx[None, None, :] % 2
+    rows = np.broadcast_to(rows, (mbh, mbw, 4))
+    cols = np.broadcast_to(cols, (mbh, mbw, 4))
+    luma = lg[:, xp.asarray(rows), xp.asarray(cols)]       # (B,mbh,mbw,4,8,8)
+    cbb = blockgrid(cb)[:, :, :, None]                     # (B,mbh,mbw,1,8,8)
+    crb = blockgrid(cr)[:, :, :, None]
+    blocks = xp.concatenate([luma, cbb, crb], axis=3)      # (B,mbh,mbw,6,8,8)
+
+    f = aan_dct(blocks, xp)
+
+    # ISO intra quantization: DC step 8 (rounded); AC level =
+    # round-half-up(8*F / (qscale*W)), clamped to the escape range.
+    dc = xp.clip((f[..., 0, 0] + 4) >> 3, 0, 255)          # (B,mbh,mbw,6)
+    qw = (intra_q * qscale).astype(xp.int32)               # (8,8)
+    num = 16 * xp.abs(f) + qw
+    mag = exact_div_floor(num, 2 * qw, xp) if xp is not np else (num // (2 * qw))
+    lvl = xp.sign(f) * xp.clip(mag, 0, 255)
+    zz = zigzag_scan(lvl, xp)
+    zz = xp.concatenate([dc[..., None], zz[..., 1:]], axis=-1)
+
+    # DC predictors: shifted previous same-component DC, 128 at slice start
+    p128 = xp.full((bsz, mbh, 1), 128, dtype=dc.dtype)
+    luma_dc = dc[..., :4].reshape(bsz, mbh, mbw * 4)
+    luma_pred = xp.concatenate([p128, luma_dc[..., :-1]], axis=-1)
+    luma_pred = luma_pred.reshape(bsz, mbh, mbw, 4)
+    cb_pred = xp.concatenate([p128, dc[..., :-1, 4]], axis=-1)[..., None]
+    cr_pred = xp.concatenate([p128, dc[..., :-1, 5]], axis=-1)[..., None]
+    pred = xp.concatenate([luma_pred, cb_pred, cr_pred], axis=-1)
+
+    is_luma = xp.broadcast_to(
+        xp.asarray(np.array([1, 1, 1, 1, 0, 0], np.int32)), zz.shape[:-1]
+    )
+    codes, lens = block_streams_correct(zz, pred, is_luma, xp)  # (B,mbh,mbw,6,65)
+
+    mb_code = xp.full((bsz, mbh, mbw, 1), 0b11, dtype=xp.uint32)
+    mb_len = xp.full((bsz, mbh, mbw, 1), 2, dtype=xp.int32)
+    per_mb_c = xp.concatenate([mb_code, codes.reshape(bsz, mbh, mbw, -1)], axis=-1)
+    per_mb_l = xp.concatenate([mb_len, lens.reshape(bsz, mbh, mbw, -1)], axis=-1)
+
+    vpos = xp.arange(1, mbh + 1, dtype=xp.uint32)
+    hdr_a = xp.broadcast_to((xp.uint32(0x100) | vpos)[None, :, None], (bsz, mbh, 1))
+    hdr_a_len = xp.full((bsz, mbh, 1), 32, dtype=xp.int32)
+    hdr_b = xp.full((bsz, mbh, 1), (qscale & 0x1F) << 1, dtype=xp.uint32)
+    hdr_b_len = xp.full((bsz, mbh, 1), 6, dtype=xp.int32)
+
+    slice_codes = xp.concatenate(
+        [hdr_a, hdr_b, per_mb_c.reshape(bsz, mbh, -1)], axis=-1
+    )
+    slice_lens = xp.concatenate(
+        [hdr_a_len, hdr_b_len, per_mb_l.reshape(bsz, mbh, -1)], axis=-1
+    )
+    return pack_bytes(slice_codes, slice_lens, max_slice_bytes, xp=xp)
+
+
+@functools.lru_cache(maxsize=16)
+def _jitted_correct_pipeline(qscale: int, max_slice_bytes: int):
+    import jax
+    import jax.numpy as jnp
+
+    def fn(rgb, intra_q):
+        return correct_pipeline(
+            rgb, intra_q, qscale, max_slice_bytes, xp=jnp
+        )
+
+    return jax.jit(fn)
+
+
+def sequence_header_es(
+    width: int,
+    height: int,
+    frame_rate_code: int = 3,
+    aspect_code: int = 1,
+    vbv_size: int = 20,
+    intra_matrix: np.ndarray | None = None,
+) -> bytes:
+    """Full ISO 11172-2 §2.4.2.3 sequence header with optional custom
+    intra quantizer matrix (transmitted in zigzag order)."""
+    w = BitWriter()
+    w.put_bytes(headers.SEQUENCE_START)
+    w.put(width, 12)
+    w.put(height, 12)
+    w.put(aspect_code, 4)
+    w.put(frame_rate_code, 4)
+    w.put(0x3FFFF, 18)  # variable bitrate
+    w.put(1, 1)         # marker
+    w.put(vbv_size, 10)
+    w.put(0, 1)         # constrained_parameters_flag
+    if intra_matrix is not None:
+        w.put(1, 1)     # load_intra_quantizer_matrix
+        zz = intra_matrix.reshape(64)[ZIGZAG_GATHER]
+        for v in zz.tolist():
+            w.put(int(v), 8)
+    else:
+        w.put(0, 1)
+    w.put(0, 1)         # load_non_intra_quantizer_matrix
+    w.align(0)
+    return w.tobytes()
+
+
+def gop_header_es(frame_index: int, fps: float, closed: bool = True) -> bytes:
+    """GOP header with a real SMPTE-style timecode for the frame index."""
+    fps_i = max(1, int(round(fps)))
+    total_s, pic = divmod(frame_index, fps_i)
+    total_m, sec = divmod(total_s, 60)
+    hour, minute = divmod(total_m, 60)
+    return headers.gop_header(
+        hour=hour, minute=minute, second=sec, num_pic=pic,
+        drop_frame=0, closed=1 if closed else 0, broken=0,
+    )
+
+
+class MPEG1IntraEncoder:
+    """ISO-compliant all-I-frame MPEG-1 video encoder.
+
+    encode(frames) -> elementary stream bytes.  Device work is batched and
+    jitted; host work is header emission + segment concatenation.
+    """
+
+    def __init__(
+        self,
+        quality: int = 50,
+        frame_rate_code: int = 3,
+        gop_size: int = 15,
+        max_slice_bytes: int = 16384,
+        backend: str = "jax",
+    ):
+        self.intra_q, self.qscale = quality_to_quant(quality)
+        self.frame_rate_code = frame_rate_code
+        self.fps = FRAME_RATE_VALUES[frame_rate_code]
+        self.gop_size = gop_size
+        self.max_slice_bytes = max_slice_bytes
+        self.backend = backend
+
+    def _run_pipeline(self, padded: np.ndarray):
+        if self.backend == "jax":
+            fn = _jitted_correct_pipeline(self.qscale, self.max_slice_bytes)
+            seg_dev, bits_dev = fn(padded, self.intra_q)
+            bits = np.asarray(bits_dev)
+            used = (int(bits.max(initial=0)) + 7) // 8
+            bucket = min(max(256, 1 << max(used - 1, 1).bit_length()), self.max_slice_bytes)
+            seg = np.asarray(seg_dev[:, :, :bucket])
+        else:
+            seg, bits = correct_pipeline(
+                padded, self.intra_q, self.qscale, self.max_slice_bytes, xp=np
+            )
+        if int(bits.max(initial=0)) > 8 * self.max_slice_bytes:
+            raise OverflowError(
+                "slice exceeded max_slice_bytes="
+                f"{self.max_slice_bytes}; raise it and retry"
+            )
+        return seg, bits
+
+    def encode(self, frames_rgb: np.ndarray, first_frame_index: int = 0) -> bytes:
+        """Encode (B, H, W, 3) uint8 frames into an MPEG-1 video ES.
+
+        `first_frame_index` supports chunked/streaming encodes: GOP
+        boundaries and timecodes stay globally consistent, and the header
+        set is only emitted at stream start (index 0).  Callers append a
+        final `headers.sequence_end()`.
+        """
+        frames = np.ascontiguousarray(frames_rgb)
+        if frames.ndim != 4 or frames.shape[-1] != 3 or frames.dtype != np.uint8:
+            raise ValueError(f"expected (B,H,W,3) uint8, got {frames.shape} {frames.dtype}")
+        disp_h, disp_w = frames.shape[1:3]
+        padded = pad_to_macroblocks(frames)
+        seg, bits = self._run_pipeline(padded)
+
+        out = bytearray()
+        for i in range(frames.shape[0]):
+            gi = first_frame_index + i
+            if gi % self.gop_size == 0:
+                out += sequence_header_es(
+                    disp_w, disp_h, self.frame_rate_code,
+                    intra_matrix=self.intra_q,
+                )
+                out += gop_header_es(gi, self.fps)
+            out += headers.picture_header(temporal_ref=gi % self.gop_size)
+            for s in range(seg.shape[1]):
+                nb = (int(bits[i, s]) + 7) // 8
+                out += bytes(seg[i, s, :nb])
+        return bytes(out)
+
+    def encode_to_file(self, frames_rgb: np.ndarray, path: str) -> int:
+        data = self.encode(frames_rgb) + headers.sequence_end()
+        with open(path, "wb") as f:
+            f.write(data)
+        return len(data)

@@ -54,7 +54,7 @@ def subsample_420(plane, xp=np):
         + p[..., 1::2, 0::2]
         + p[..., 1::2, 1::2]
     )
-    return (s // 4).astype(xp.uint8)
+    return (s >> 2).astype(xp.uint8)  # /4 as shift (XLA int div is costly)
 
 
 def upsample_420(plane, xp=np):

@@ -1,0 +1,81 @@
+"""Sharded encode step: the correct-mode pipeline jitted over a mesh.
+
+Frames shard over the `data` axis, image rows (=> macroblock rows =>
+slices) over the `rows` axis.  No hand-written collectives: slices are
+independent bitstream islands, so GSPMD compiles the pipeline into purely
+local compute; the segment gather happens when the host reads the output.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ec504_imageencoder_tpu.models.mpeg1 import correct_pipeline
+from ec504_imageencoder_tpu.parallel import mesh as mesh_lib
+
+
+@functools.lru_cache(maxsize=8)
+def _sharded_pipeline(mesh: "jax.sharding.Mesh", qscale: int, max_slice_bytes: int):
+    fs = mesh_lib.frame_sharding(mesh)
+    rep = mesh_lib.replicated(mesh)
+
+    def fn(rgb, intra_q):
+        return correct_pipeline(rgb, intra_q, qscale, max_slice_bytes, xp=jnp)
+
+    return jax.jit(
+        fn,
+        in_shardings=(fs, rep),
+        out_shardings=(
+            mesh_lib.segment_sharding(mesh),
+            mesh_lib.bits_sharding(mesh),
+        ),
+    )
+
+
+from ec504_imageencoder_tpu.models.mpeg1 import MPEG1IntraEncoder
+
+
+class ShardedMPEG1Encoder(MPEG1IntraEncoder):
+    """MPEG1IntraEncoder whose device pipeline runs across a mesh.
+
+    Same host-side API and identical bytes out; the batch axis shards over
+    `data` and image rows over `rows`.  Batch size should divide the
+    data-axis size for even utilization (GSPMD handles remainders but pads).
+    """
+
+    def __init__(self, *args, mesh=None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+
+    def _run_pipeline(self, padded: np.ndarray):
+        n_data = self.mesh.shape[mesh_lib.DATA_AXIS]
+        n_rows = self.mesh.shape[mesh_lib.ROWS_AXIS]
+        mbh = padded.shape[1] // 16
+        if mbh % n_rows:
+            raise ValueError(
+                f"padded frame has {mbh} MB rows, not divisible by the "
+                f"rows mesh axis ({n_rows}); pick n_rows dividing {mbh}"
+            )
+        batch = padded.shape[0]
+        pad_b = -batch % n_data  # replicate-pad batch to fill the data axis
+        if pad_b:
+            padded = np.concatenate([padded, padded[-1:].repeat(pad_b, 0)])
+        fn = _sharded_pipeline(self.mesh, self.qscale, self.max_slice_bytes)
+        seg_dev, bits_dev = fn(padded, self.intra_q)
+        if pad_b:
+            seg_dev, bits_dev = seg_dev[:batch], bits_dev[:batch]
+        bits = np.asarray(bits_dev)
+        if int(bits.max(initial=0)) > 8 * self.max_slice_bytes:
+            raise OverflowError(
+                f"slice exceeded max_slice_bytes={self.max_slice_bytes}"
+            )
+        used = (int(bits.max(initial=0)) + 7) // 8
+        bucket = min(
+            max(256, 1 << max(used - 1, 1).bit_length()), self.max_slice_bytes
+        )
+        return np.asarray(seg_dev[:, :, :bucket]), bits

@@ -7,12 +7,19 @@ Must run before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# In the dev container an `axon` TPU plugin registers itself from
+# sitecustomize before conftest runs, and env-var overrides are too late —
+# but the live config switch still works (the CPU backend initializes
+# lazily, after the XLA_FLAGS above).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 

@@ -1,0 +1,89 @@
+"""Correct-mode (ISO-compliant) encoder: round trip through the
+independent spec decoder, padding behavior, stream structure."""
+
+import numpy as np
+import pytest
+
+from ec504_imageencoder_tpu.models.decoder import decode_es, psnr
+from ec504_imageencoder_tpu.models.mpeg1 import (
+    MPEG1IntraEncoder,
+    quality_to_quant,
+    sequence_header_es,
+)
+from ec504_imageencoder_tpu.syntax import headers
+
+
+@pytest.fixture(scope="module")
+def crop(fixture_frames):
+    return np.stack([fixture_frames["0"], fixture_frames["2"]])[:, :160, :240]
+
+
+def _roundtrip(frames, quality, **kw):
+    enc = MPEG1IntraEncoder(quality=quality, backend="numpy", **kw)
+    es = enc.encode(frames) + headers.sequence_end()
+    dec = decode_es(es)
+    assert len(dec) == len(frames)
+    return es, dec
+
+
+def test_roundtrip_psnr(crop):
+    es, dec = _roundtrip(crop, 50)
+    for i in range(len(crop)):
+        assert dec[i].shape == crop[i].shape
+        p = psnr(crop[i], dec[i])
+        assert p > 32.0, f"frame {i}: PSNR {p:.2f}"
+
+
+def test_quality_monotonic_size(crop):
+    sizes = [len(_roundtrip(crop, q)[0]) for q in (10, 40, 80)]
+    assert sizes[0] < sizes[1] < sizes[2]
+
+
+def test_odd_dimensions_padded_and_cropped(fixture_frames):
+    f = fixture_frames["1"][None, :150, :100]  # not multiples of 16
+    es, dec = _roundtrip(f, 60)
+    assert dec[0].shape == (150, 100, 3)
+    assert psnr(f[0], dec[0]) > 30.0
+
+
+def test_gop_and_temporal_ref(crop):
+    enc = MPEG1IntraEncoder(quality=30, gop_size=1, backend="numpy")
+    es = enc.encode(crop) + headers.sequence_end()
+    # one sequence header + GOP per frame
+    assert es.count(headers.SEQUENCE_START) == len(crop)
+    assert es.count(headers.GOP_START) == len(crop)
+    assert decode_es(es)[0].shape == crop[0].shape
+
+
+def test_streaming_chunks_match_single_shot(crop):
+    enc = MPEG1IntraEncoder(quality=30, gop_size=2, backend="numpy")
+    whole = enc.encode(np.concatenate([crop, crop]))
+    chunked = enc.encode(crop, first_frame_index=0) + enc.encode(
+        crop, first_frame_index=2
+    )
+    assert whole == chunked
+
+
+def test_quality_to_quant_ranges():
+    for q in (1, 12, 50, 100):
+        m, s = quality_to_quant(q)
+        assert m.min() >= 1 and m.max() <= 255
+        assert 1 <= s <= 31
+
+
+def test_sequence_header_parse_roundtrip():
+    m, _ = quality_to_quant(35)
+    hdr = sequence_header_es(1920, 1080, 3, intra_matrix=m)
+    from ec504_imageencoder_tpu.models.decoder import BitReader, _read_sequence_header
+
+    r = BitReader(hdr)
+    assert r.next_start_code() == 0xB3
+    info = _read_sequence_header(r)
+    assert (info.width, info.height) == (1920, 1080)
+    np.testing.assert_array_equal(info.intra_matrix, m)
+
+
+def test_overflow_detection(crop):
+    enc = MPEG1IntraEncoder(quality=95, backend="numpy", max_slice_bytes=64)
+    with pytest.raises(OverflowError):
+        enc.encode(crop[:1])
