@@ -1,0 +1,137 @@
+"""Checkpoint/resume, GOP stitching, fault re-dispatch, and the
+multi-process (2-proc CPU) distributed encode."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from ec504_imageencoder_tpu.models.decoder import decode_es
+from ec504_imageencoder_tpu.models.mpeg1 import MPEG1IntraEncoder
+from ec504_imageencoder_tpu.runtime.checkpoint import (
+    CheckpointedEncode,
+    encode_resumable,
+)
+from ec504_imageencoder_tpu.syntax import headers
+
+
+@pytest.fixture(scope="module")
+def frames(fixture_frames):
+    base = np.stack([fixture_frames["0"], fixture_frames["1"], fixture_frames["2"]])
+    return np.concatenate([base, base])[:, :96, :112]  # 6 frames, small
+
+
+def _source(frames):
+    return lambda start, end: frames[start:end]
+
+
+def test_resumable_matches_single_shot(frames, tmp_path):
+    enc = MPEG1IntraEncoder(quality=35, gop_size=2, backend="numpy")
+    n = encode_resumable(
+        _source(frames), len(frames), str(tmp_path / "wd"), str(tmp_path / "out.mpeg"),
+        encoder=enc,
+    )
+    whole = enc.encode(frames) + headers.sequence_end()
+    got = (tmp_path / "out.mpeg").read_bytes()
+    assert n == len(got) == len(whole)
+    assert got == whole
+    assert len(decode_es(got)) == len(frames)
+
+
+def test_resume_skips_completed_gops(frames, tmp_path):
+    enc = MPEG1IntraEncoder(quality=35, gop_size=2, backend="numpy")
+    sess = CheckpointedEncode(str(tmp_path / "wd"), enc, len(frames))
+    # encode only GOP 0, then "crash"
+    sess.encode_gop(0, frames[0:2])
+    calls = []
+
+    def source(start, end):
+        calls.append((start, end))
+        return frames[start:end]
+
+    encode_resumable(
+        source, len(frames), str(tmp_path / "wd"), str(tmp_path / "out.mpeg"),
+        encoder=enc,
+    )
+    assert (0, 2) not in calls  # GOP 0 not re-encoded
+    assert len(calls) == 2
+
+
+def test_corrupt_segment_is_reencoded(frames, tmp_path):
+    enc = MPEG1IntraEncoder(quality=35, gop_size=2, backend="numpy")
+    sess = CheckpointedEncode(str(tmp_path / "wd"), enc, len(frames))
+    rec = sess.encode_gop(0, frames[0:2])
+    with open(rec.path, "r+b") as f:  # corrupt the segment bytes
+        f.write(b"\xde\xad")
+    sess2 = CheckpointedEncode(str(tmp_path / "wd"), enc, len(frames))
+    assert 0 in [g for g in sess2.pending_gops()]
+
+
+def test_transient_failure_redispatch(frames, tmp_path):
+    enc = MPEG1IntraEncoder(quality=35, gop_size=3, backend="numpy")
+    fail_once = {"left": 1}
+
+    def flaky_source(start, end):
+        if start == 3 and fail_once["left"]:
+            fail_once["left"] -= 1
+            raise IOError("simulated preemption")
+        return frames[start:end]
+
+    encode_resumable(
+        flaky_source, len(frames), str(tmp_path / "wd"), str(tmp_path / "out.mpeg"),
+        encoder=enc,
+    )
+    assert (tmp_path / "out.mpeg").exists()
+
+
+_MULTIPROC_SCRIPT = r"""
+import os, sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+pid, nproc, workdir, out = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+jax.distributed.initialize("127.0.0.1:{port}", num_processes=nproc, process_id=pid)
+from ec504_imageencoder_tpu.models.mpeg1 import MPEG1IntraEncoder
+from ec504_imageencoder_tpu.parallel.distributed import encode_multihost
+rng = np.random.default_rng(0)  # same frames on every process
+frames = rng.integers(0, 256, (4, 64, 80, 3), dtype=np.uint8)
+enc = MPEG1IntraEncoder(quality=40, gop_size=1, backend="numpy")
+n = encode_multihost(lambda s, e: frames[s:e], 4, workdir, out, encoder=enc)
+print("RESULT", pid, n)
+"""
+
+
+def test_multiprocess_two_hosts(tmp_path):
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    script = _MULTIPROC_SCRIPT.replace("{port}", str(port)).format(
+        repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    sp = str(tmp_path / "mp.py")
+    with open(sp, "w") as f:
+        f.write(script)
+    wd, out = str(tmp_path / "wd"), str(tmp_path / "out.mpeg")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, sp, str(pid), "2", wd, out],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=240) for p in procs]
+    for p, (o, e) in zip(procs, outs):
+        assert p.returncode == 0, e.decode()[-2000:]
+    # host 0 stitched a decodable stream identical to single-host encode
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, (4, 64, 80, 3), dtype=np.uint8)
+    enc = MPEG1IntraEncoder(quality=40, gop_size=1, backend="numpy")
+    want = enc.encode(frames) + headers.sequence_end()
+    got = open(out, "rb").read()
+    assert got == want
