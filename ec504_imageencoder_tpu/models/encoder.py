@@ -111,7 +111,9 @@ def compat_pipeline(y, cb, cr, scaled_q, max_slice_bytes=MAX_SLICE_BYTES_COMPAT,
     slice_lens = xp.concatenate(
         [hdr_a_len, hdr_b_len, per_mb_lens.reshape(bsz, N_SLICES, -1)], axis=-1
     )
-    return pack_bytes(slice_codes, slice_lens, max_slice_bytes, xp=xp)
+    from ec504_imageencoder_tpu.ops.bitpack import pack_bytes_device
+
+    return pack_bytes_device(slice_codes, slice_lens, max_slice_bytes, xp=xp)
 
 
 @functools.lru_cache(maxsize=8)

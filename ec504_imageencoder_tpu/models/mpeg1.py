@@ -81,70 +81,87 @@ def correct_pipeline(rgb, intra_q, qscale, max_slice_bytes, xp=np):
     bsz, h, w = rgb.shape[:3]
     mbh, mbw = h // 16, w // 16
 
-    y, cb, cr = rgb_to_ycbcr(rgb, xp)
-    cb = subsample_420(cb, xp)
-    cr = subsample_420(cr, xp)
+    if xp is np:
+        import contextlib
+
+        scope = lambda _n: contextlib.nullcontext()
+    else:
+        import jax
+
+        scope = jax.named_scope  # stages attributable in xprof traces
+
+    with scope("color_subsample"):
+        y, cb, cr = rgb_to_ycbcr(rgb, xp)
+        cb = subsample_420(cb, xp)
+        cr = subsample_420(cr, xp)
 
     def blockgrid(p):
         hh, ww = p.shape[-2], p.shape[-1]
         g = p.reshape(bsz, hh // 8, 8, ww // 8, 8)
         return g.transpose(0, 1, 3, 2, 4)  # (B, rows8, cols8, 8, 8)
 
-    lg = blockgrid(y)
-    b_idx = np.arange(4)
-    rows = 2 * np.arange(mbh)[:, None, None] + b_idx[None, None, :] // 2
-    cols = 2 * np.arange(mbw)[None, :, None] + b_idx[None, None, :] % 2
-    rows = np.broadcast_to(rows, (mbh, mbw, 4))
-    cols = np.broadcast_to(cols, (mbh, mbw, 4))
-    luma = lg[:, xp.asarray(rows), xp.asarray(cols)]       # (B,mbh,mbw,4,8,8)
-    cbb = blockgrid(cb)[:, :, :, None]                     # (B,mbh,mbw,1,8,8)
-    crb = blockgrid(cr)[:, :, :, None]
-    blocks = xp.concatenate([luma, cbb, crb], axis=3)      # (B,mbh,mbw,6,8,8)
+    with scope("blockize"):
+        lg = blockgrid(y)
+        b_idx = np.arange(4)
+        rows = 2 * np.arange(mbh)[:, None, None] + b_idx[None, None, :] // 2
+        cols = 2 * np.arange(mbw)[None, :, None] + b_idx[None, None, :] % 2
+        rows = np.broadcast_to(rows, (mbh, mbw, 4))
+        cols = np.broadcast_to(cols, (mbh, mbw, 4))
+        luma = lg[:, xp.asarray(rows), xp.asarray(cols)]   # (B,mbh,mbw,4,8,8)
+        cbb = blockgrid(cb)[:, :, :, None]                 # (B,mbh,mbw,1,8,8)
+        crb = blockgrid(cr)[:, :, :, None]
+        blocks = xp.concatenate([luma, cbb, crb], axis=3)  # (B,mbh,mbw,6,8,8)
 
-    f = aan_dct(blocks, xp)
+    with scope("dct"):
+        f = aan_dct(blocks, xp)
 
     # ISO intra quantization: DC step 8 (rounded); AC level =
     # round-half-up(8*F / (qscale*W)), clamped to the escape range.
-    dc = xp.clip((f[..., 0, 0] + 4) >> 3, 0, 255)          # (B,mbh,mbw,6)
-    qw = (intra_q * qscale).astype(xp.int32)               # (8,8)
-    num = 16 * xp.abs(f) + qw
-    mag = exact_div_floor(num, 2 * qw, xp) if xp is not np else (num // (2 * qw))
-    lvl = xp.sign(f) * xp.clip(mag, 0, 255)
-    zz = zigzag_scan(lvl, xp)
-    zz = xp.concatenate([dc[..., None], zz[..., 1:]], axis=-1)
+    with scope("quantize_zigzag"):
+        dc = xp.clip((f[..., 0, 0] + 4) >> 3, 0, 255)      # (B,mbh,mbw,6)
+        qw = (intra_q * qscale).astype(xp.int32)           # (8,8)
+        num = 16 * xp.abs(f) + qw
+        mag = exact_div_floor(num, 2 * qw, xp) if xp is not np else (num // (2 * qw))
+        lvl = xp.sign(f) * xp.clip(mag, 0, 255)
+        zz = zigzag_scan(lvl, xp)
+        zz = xp.concatenate([dc[..., None], zz[..., 1:]], axis=-1)
 
-    # DC predictors: shifted previous same-component DC, 128 at slice start
-    p128 = xp.full((bsz, mbh, 1), 128, dtype=dc.dtype)
-    luma_dc = dc[..., :4].reshape(bsz, mbh, mbw * 4)
-    luma_pred = xp.concatenate([p128, luma_dc[..., :-1]], axis=-1)
-    luma_pred = luma_pred.reshape(bsz, mbh, mbw, 4)
-    cb_pred = xp.concatenate([p128, dc[..., :-1, 4]], axis=-1)[..., None]
-    cr_pred = xp.concatenate([p128, dc[..., :-1, 5]], axis=-1)[..., None]
-    pred = xp.concatenate([luma_pred, cb_pred, cr_pred], axis=-1)
+    with scope("vlc"):
+        # DC predictors: shifted previous same-component DC, 128 at slice start
+        p128 = xp.full((bsz, mbh, 1), 128, dtype=dc.dtype)
+        luma_dc = dc[..., :4].reshape(bsz, mbh, mbw * 4)
+        luma_pred = xp.concatenate([p128, luma_dc[..., :-1]], axis=-1)
+        luma_pred = luma_pred.reshape(bsz, mbh, mbw, 4)
+        cb_pred = xp.concatenate([p128, dc[..., :-1, 4]], axis=-1)[..., None]
+        cr_pred = xp.concatenate([p128, dc[..., :-1, 5]], axis=-1)[..., None]
+        pred = xp.concatenate([luma_pred, cb_pred, cr_pred], axis=-1)
 
-    is_luma = xp.broadcast_to(
-        xp.asarray(np.array([1, 1, 1, 1, 0, 0], np.int32)), zz.shape[:-1]
-    )
-    codes, lens = block_streams_correct(zz, pred, is_luma, xp)  # (B,mbh,mbw,6,65)
+        is_luma = xp.broadcast_to(
+            xp.asarray(np.array([1, 1, 1, 1, 0, 0], np.int32)), zz.shape[:-1]
+        )
+        codes, lens = block_streams_correct(zz, pred, is_luma, xp)
 
-    mb_code = xp.full((bsz, mbh, mbw, 1), 0b11, dtype=xp.uint32)
-    mb_len = xp.full((bsz, mbh, mbw, 1), 2, dtype=xp.int32)
-    per_mb_c = xp.concatenate([mb_code, codes.reshape(bsz, mbh, mbw, -1)], axis=-1)
-    per_mb_l = xp.concatenate([mb_len, lens.reshape(bsz, mbh, mbw, -1)], axis=-1)
+    with scope("bitpack"):
+        mb_code = xp.full((bsz, mbh, mbw, 1), 0b11, dtype=xp.uint32)
+        mb_len = xp.full((bsz, mbh, mbw, 1), 2, dtype=xp.int32)
+        per_mb_c = xp.concatenate([mb_code, codes.reshape(bsz, mbh, mbw, -1)], axis=-1)
+        per_mb_l = xp.concatenate([mb_len, lens.reshape(bsz, mbh, mbw, -1)], axis=-1)
 
-    vpos = xp.arange(1, mbh + 1, dtype=xp.uint32)
-    hdr_a = xp.broadcast_to((xp.uint32(0x100) | vpos)[None, :, None], (bsz, mbh, 1))
-    hdr_a_len = xp.full((bsz, mbh, 1), 32, dtype=xp.int32)
-    hdr_b = xp.full((bsz, mbh, 1), (qscale & 0x1F) << 1, dtype=xp.uint32)
-    hdr_b_len = xp.full((bsz, mbh, 1), 6, dtype=xp.int32)
+        vpos = xp.arange(1, mbh + 1, dtype=xp.uint32)
+        hdr_a = xp.broadcast_to((xp.uint32(0x100) | vpos)[None, :, None], (bsz, mbh, 1))
+        hdr_a_len = xp.full((bsz, mbh, 1), 32, dtype=xp.int32)
+        hdr_b = xp.full((bsz, mbh, 1), (qscale & 0x1F) << 1, dtype=xp.uint32)
+        hdr_b_len = xp.full((bsz, mbh, 1), 6, dtype=xp.int32)
 
-    slice_codes = xp.concatenate(
-        [hdr_a, hdr_b, per_mb_c.reshape(bsz, mbh, -1)], axis=-1
-    )
-    slice_lens = xp.concatenate(
-        [hdr_a_len, hdr_b_len, per_mb_l.reshape(bsz, mbh, -1)], axis=-1
-    )
-    return pack_bytes(slice_codes, slice_lens, max_slice_bytes, xp=xp)
+        slice_codes = xp.concatenate(
+            [hdr_a, hdr_b, per_mb_c.reshape(bsz, mbh, -1)], axis=-1
+        )
+        slice_lens = xp.concatenate(
+            [hdr_a_len, hdr_b_len, per_mb_l.reshape(bsz, mbh, -1)], axis=-1
+        )
+        from ec504_imageencoder_tpu.ops.bitpack import pack_bytes_device
+
+        return pack_bytes_device(slice_codes, slice_lens, max_slice_bytes, xp=xp)
 
 
 @functools.lru_cache(maxsize=16)

@@ -62,26 +62,88 @@ def pack_words(codes, lens, max_words: int, xp=np):
 
     import jax
 
-    # TPU-friendly scatter-free formulation.  Bit offsets are monotonic, so
-    # the codes contributing to output word w form a contiguous index range
-    # [start[w], start[w+1]); within a word the contributions are
-    # bit-disjoint, so their uint32 wrap-sum equals their OR.  That turns
-    # packing into two prefix sums + one binary search + gathers — no
-    # scatter at all.
+    # Bit offsets are monotone, so per-word contributions are bit-disjoint
+    # (uint32 add == OR) and the scatter indices arrive sorted — which XLA
+    # TPU turns into an efficient vectorized scatter (measured ~0.1 ms for
+    # 12.8M codes; the scatter-free prefix-sum+searchsorted formulation is
+    # ~20x slower because large-array gathers serialize on TPU).
     def pack1(word_i, w0_i, w1_i):
-        zero = xp.zeros((1,), xp.uint32)
-        p0 = xp.concatenate([zero, xp.cumsum(w0_i, dtype=xp.uint32)])
-        p1 = xp.concatenate([zero, xp.cumsum(w1_i, dtype=xp.uint32)])
-        # start[w] = first code index whose word >= w, for w in 0..W
-        starts = xp.searchsorted(word_i, xp.arange(max_words + 1, dtype=word_i.dtype))
-        s_prev = xp.concatenate([xp.zeros((1,), starts.dtype), starts[:-1]])
-        direct = p0[starts[1:]] - p0[starts[:-1]]
-        carry = p1[starts[:-1]] - p1[s_prev[:-1]]
-        return direct + carry
+        buf = xp.zeros((max_words,), xp.uint32)
+        buf = buf.at[word_i].add(w0_i, mode="drop", indices_are_sorted=True)
+        return buf.at[word_i + 1].add(w1_i, mode="drop", indices_are_sorted=True)
 
     flat = word.reshape(-1, word.shape[-1])
     out = jax.vmap(pack1)(flat, w0.reshape(flat.shape), w1.reshape(flat.shape))
     return out.reshape(codes.shape[:-1] + (max_words,)), nbits
+
+
+def pack_words_mxu(codes, lens, max_words: int, chunk: int = 1024):
+    """TPU pack via chunked one-hot matmuls (no scatter, no gather).
+
+    Same contract as pack_words.  For each K-chunk, contributions become a
+    (W x chunk) one-hot contracted against the codes' byte planes on the
+    MXU.  Byte planes (<= 255) are exact in bf16, so default matmul
+    precision is bit-exact; per-word sums stay bit-disjoint.  The carry
+    (word+1) contributions are accumulated at `word` and rolled one word
+    at the end, avoiding a second one-hot.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    xp = jnp
+    codes = xp.where(lens > 0, codes.astype(xp.uint32), xp.uint32(0))
+    lens = lens.astype(xp.int32)
+    ends = xp.cumsum(lens, axis=-1)
+    off = ends - lens
+    nbits = ends[..., -1]
+    word = (off >> 5).astype(xp.int32)
+    s = (off & 31).astype(xp.int32)
+    over = s + lens - 32
+    sh0 = xp.clip(32 - s - lens, 0, 31).astype(xp.uint32)
+    w0 = xp.where(over > 0, codes >> xp.clip(over, 0, 31).astype(xp.uint32), codes << sh0)
+    sh1 = xp.clip(32 - over, 1, 31).astype(xp.uint32)
+    w1 = xp.where(over > 0, codes << sh1, xp.uint32(0))
+
+    *batch, k = codes.shape
+    pad = (-k) % chunk
+    if pad:
+        zpad = xp.zeros(tuple(batch) + (pad,), xp.uint32)
+        w0 = xp.concatenate([w0, zpad], axis=-1)
+        w1 = xp.concatenate([w1, zpad], axis=-1)
+        word = xp.concatenate(
+            [word, xp.full(tuple(batch) + (pad,), max_words, xp.int32)], axis=-1
+        )
+    kp = k + pad
+
+    planes = xp.stack(
+        [((v >> (8 * i)) & 0xFF).astype(xp.bfloat16) for v in (w0, w1) for i in range(4)],
+        axis=-1,
+    )  # (..., K, 8)
+
+    n = int(np.prod(batch)) if batch else 1
+    wordc = word.reshape(n, kp // chunk, chunk).transpose(1, 0, 2)
+    planec = planes.reshape(n, kp // chunk, chunk, 8).transpose(1, 0, 2, 3)
+    wq = xp.arange(max_words, dtype=xp.int32)
+
+    def body(acc, xs):
+        wrd, pl8 = xs  # (n, chunk), (n, chunk, 8)
+        oh = (wrd[:, :, None] == wq[None, None, :]).astype(xp.bfloat16)
+        acc = acc + jax.lax.dot_general(
+            oh, pl8, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=xp.float32,
+        )  # (n, W, 8)
+        return acc, 0
+
+    acc = xp.zeros((n, max_words, 8), xp.float32)
+    acc, _ = jax.lax.scan(body, acc, (wordc, planec))
+    b = acc.astype(xp.uint32)
+    direct = b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16) | (b[..., 3] << 24)
+    carry = b[..., 4] | (b[..., 5] << 8) | (b[..., 6] << 16) | (b[..., 7] << 24)
+    carry = xp.concatenate(
+        [xp.zeros((n, 1), xp.uint32), carry[:, :-1]], axis=-1
+    )
+    words = (direct + carry).reshape(tuple(batch) + (max_words,))
+    return words, nbits
 
 
 def words_to_bytes(words, xp=np):
@@ -104,3 +166,24 @@ def pack_bytes(codes, lens, max_bytes: int, xp=np):
     assert max_bytes % 4 == 0
     words, nbits = pack_words(codes, lens, max_bytes // 4, xp=xp)
     return words_to_bytes(words, xp=xp), nbits
+
+
+def pack_bytes_device(codes, lens, max_bytes: int, xp=np):
+    """Backend-dispatching pack: Pallas kernel (EC504_PALLAS_PACK=1) or
+    MXU one-hot formulation on TPU, generic scatter elsewhere."""
+    assert max_bytes % 4 == 0
+    if xp is not np:
+        import os
+
+        import jax
+        import jax.numpy as jnp
+
+        if jax.default_backend() == "tpu":
+            if os.environ.get("EC504_PALLAS_PACK") == "1":
+                from ec504_imageencoder_tpu.ops.pallas_pack import pack_words_pallas
+
+                words, nbits = pack_words_pallas(codes, lens, max_bytes // 4)
+            else:
+                words, nbits = pack_words_mxu(codes, lens, max_bytes // 4)
+            return words_to_bytes(words, xp=jnp), nbits
+    return pack_bytes(codes, lens, max_bytes, xp=xp)

@@ -87,6 +87,29 @@ def _escape_codes(ri, al, sign, xp):
     return code, length
 
 
+def _ac_table(ri, al, compat: bool, xp):
+    """(code, len) from table B.5c/d; len 0 where no row exists.
+
+    Under numpy this is a plain dense-LUT gather; under JAX it routes
+    through the gather-free MXU one-hot lookup (ops/mxu_lut.py) because
+    large-index gathers serialize on TPU.
+    """
+    if xp is np:
+        ri_c = np.clip(ri, 0, 31)
+        al_c = np.clip(al, 0, 40)
+        in_range = (ri <= 31) & (al <= 40)
+        if compat:
+            code = AC_CODE_COMPAT[ri_c, al_c]
+            length = AC_LEN_COMPAT[ri_c, al_c]
+        else:
+            code = AC_CODE_CORRECT[ri_c, al_c]
+            length = AC_LEN_CORRECT[ri_c, al_c]
+        return np.where(in_range, code, 0), np.where(in_range, length, 0)
+    from ec504_imageencoder_tpu.ops import mxu_lut
+
+    return mxu_lut.ac_table_lookup(ri, al, xp, compat=compat)
+
+
 def ac_codes_compat(levels_ac, zeros_before_ac, xp=np):
     """Per-position AC (code, len) with reference emission rules.
 
@@ -101,11 +124,8 @@ def ac_codes_compat(levels_ac, zeros_before_ac, xp=np):
     ri = xp.maximum(zeros_before_ac - 1, 0)
 
     special = (ri == 0) & (al == 1)
-    ri_c = xp.clip(ri, 0, 31)
-    al_c = xp.clip(al, 0, 40)
-    t_code = xp.asarray(AC_CODE_COMPAT)[ri_c, al_c]
-    t_len = xp.asarray(AC_LEN_COMPAT)[ri_c, al_c]
-    in_table = (~special) & (ri <= 31) & (al <= 40) & (t_len > 0)
+    t_code, t_len = _ac_table(ri, al, compat=True, xp=xp)
+    in_table = (~special) & (t_len > 0)
 
     e_code, e_len = _escape_codes(ri, al, sign, xp)
 
@@ -125,11 +145,10 @@ def ac_codes_correct(levels_ac, zeros_before_ac, xp=np):
     ri = zeros_before_ac  # true run, 0-based
 
     special = (ri == 0) & (al == 1)  # '11s' (never first inside intra blocks)
-    ri_c = xp.clip(ri, 0, 31)
-    al_c = xp.clip(al, 0, 40)
-    t_code = (xp.asarray(AC_CODE_CORRECT)[ri_c, al_c] << 1) | sbit
-    t_len = xp.asarray(AC_LEN_CORRECT)[ri_c, al_c] + 1
-    in_table = (~special) & (ri <= 31) & (al <= 40) & (t_len > 1)
+    t_code0, t_len0 = _ac_table(ri, al, compat=False, xp=xp)
+    t_code = (t_code0 << 1) | sbit
+    t_len = t_len0 + 1
+    in_table = (~special) & (t_len > 1)
 
     e_code, e_len = _escape_codes(ri, al, sign, xp)
 
@@ -138,6 +157,15 @@ def ac_codes_correct(levels_ac, zeros_before_ac, xp=np):
     )
     length = xp.where(special, xp.int32(3), xp.where(in_table, t_len, e_len))
     return code, length
+
+
+def _dc_table(luma_i, sz, xp):
+    """dct_dc_size (code, len); gather-free on device."""
+    if xp is np:
+        return _DC_CODE_STACK[luma_i, sz], _DC_LEN_STACK[luma_i, sz]
+    from ec504_imageencoder_tpu.ops import mxu_lut
+
+    return mxu_lut.dc_size_lookup(luma_i, sz, xp)
 
 
 def block_streams_compat(zz, is_luma, xp=np):
@@ -159,8 +187,7 @@ def block_streams_compat(zz, is_luma, xp=np):
     dc_bits = (coe & ((1 << sz) - 1)).astype(xp.uint32)
     luma_i = is_luma.astype(xp.int32) if hasattr(is_luma, "astype") else xp.int32(int(is_luma))
     sz_eff = xp.where(dc_nz, sz, 0)
-    size_code = xp.asarray(_DC_CODE_STACK)[luma_i, sz_eff]
-    size_len = xp.asarray(_DC_LEN_STACK)[luma_i, sz_eff]
+    size_code, size_len = _dc_table(luma_i, sz_eff, xp)
     fused = (size_code << sz.astype(xp.uint32)) | dc_bits
     dc_code = xp.where(dc_nz, fused, size_code)
     dc_len = xp.where(dc_nz, size_len + sz, size_len)
@@ -205,8 +232,7 @@ def block_streams_correct(zz, dc_pred, is_luma, xp=np):
     v = xp.where(diff >= 0, diff, diff + (1 << sz) - 1)
     dc_bits = (v & ((1 << sz) - 1)).astype(xp.uint32)
     luma_i = is_luma.astype(xp.int32) if hasattr(is_luma, "astype") else xp.int32(int(is_luma))
-    size_code = xp.asarray(_DC_CODE_STACK)[luma_i, sz]
-    size_len = xp.asarray(_DC_LEN_STACK)[luma_i, sz]
+    size_code, size_len = _dc_table(luma_i, sz, xp)
     dc_code = xp.where(
         sz > 0, (size_code << sz.astype(xp.uint32)) | dc_bits, size_code
     )
