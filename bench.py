@@ -72,6 +72,7 @@ def measure_reference() -> dict:
 
 def measure_tpu_1080p() -> dict:
     import jax
+    import jax.numpy as jnp
 
     from ec504_imageencoder_tpu.models.mpeg1 import (
         _jitted_correct_pipeline,
@@ -85,30 +86,46 @@ def measure_tpu_1080p() -> dict:
 
     fn = _jitted_correct_pipeline(qscale, max_slice_bytes)
 
+    # NOTE: timing must force execution by FETCHING data — on the axon
+    # dev backend block_until_ready returns before the work runs.
+    def sync(out):
+        return float(np.asarray(jnp.sum(out[1].astype(jnp.float32))))
+
     t0 = time.perf_counter()
     frames_dev = jax.device_put(frames)
     intra_dev = jax.device_put(intra_q)
-    jax.block_until_ready((frames_dev, intra_dev))
+    _ = np.asarray(frames_dev[0, 0, 0]), np.asarray(intra_dev[0, 0])
     t_upload = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    out = jax.block_until_ready(fn(frames_dev, intra_dev))
+    out = fn(frames_dev, intra_dev)
+    sync(out)
     t_compile = time.perf_counter() - t0
+
+    # measure the dispatch+fetch floor so it can be subtracted
+    tiny = jax.jit(lambda x: x + 1.0)
+    tiny_in = jax.device_put(np.float32(1.0))
+    float(np.asarray(tiny(tiny_in)))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        float(np.asarray(tiny(tiny_in)))
+    rtt = (time.perf_counter() - t0) / 3
 
     times = []
     for _ in range(ITERS):
         t0 = time.perf_counter()
-        out = jax.block_until_ready(fn(frames_dev, intra_dev))
+        out = fn(frames_dev, intra_dev)
+        sync(out)
         times.append(time.perf_counter() - t0)
-    step = min(times)
+    step = max(min(times) - rtt, 1e-6)
 
-    # sanity: materialize the bit lengths on host (tiny transfer)
     bits = np.asarray(out[1])
     total_bytes = int(((bits + 7) // 8).sum())
     return {
         "device": str(jax.devices()[0]),
         "fps": BATCH / step,
         "step_s": step,
+        "sync_rtt_s": rtt,
         "upload_s": t_upload,
         "compile_s": t_compile,
         "stream_bytes_per_frame": total_bytes // BATCH,
