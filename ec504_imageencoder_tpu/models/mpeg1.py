@@ -31,7 +31,7 @@ import numpy as np
 
 from ec504_imageencoder_tpu.ops.bitpack import pack_bytes
 from ec504_imageencoder_tpu.ops.color import rgb_to_ycbcr, subsample_420
-from ec504_imageencoder_tpu.ops.dct import aan_dct
+from ec504_imageencoder_tpu.ops.dct import aan_dct, matmul_dct
 from ec504_imageencoder_tpu.ops.quant import exact_div_floor
 from ec504_imageencoder_tpu.ops.vlc_device import block_streams_correct
 from ec504_imageencoder_tpu.ops.zigzag import zigzag_scan
@@ -74,7 +74,7 @@ def pad_to_macroblocks(frames: np.ndarray) -> np.ndarray:
     return frames
 
 
-def correct_pipeline(rgb, intra_q, qscale, max_slice_bytes, xp=np):
+def correct_pipeline(rgb, intra_q, qscale, max_slice_bytes, xp=np, dct_impl="aan"):
     """(B, H, W, 3) u8 (H, W multiples of 16) ->
     ((B, mb_h, max_slice_bytes) u8 slice segments, (B, mb_h) i32 bit lens).
     """
@@ -113,7 +113,7 @@ def correct_pipeline(rgb, intra_q, qscale, max_slice_bytes, xp=np):
         blocks = xp.concatenate([luma, cbb, crb], axis=3)  # (B,mbh,mbw,6,8,8)
 
     with scope("dct"):
-        f = aan_dct(blocks, xp)
+        f = aan_dct(blocks, xp) if dct_impl == "aan" else matmul_dct(blocks, xp)
 
     # ISO intra quantization: DC step 8 (rounded); AC level =
     # round-half-up(8*F / (qscale*W)), clamped to the escape range.
@@ -165,13 +165,13 @@ def correct_pipeline(rgb, intra_q, qscale, max_slice_bytes, xp=np):
 
 
 @functools.lru_cache(maxsize=16)
-def _jitted_correct_pipeline(qscale: int, max_slice_bytes: int):
+def _jitted_correct_pipeline(qscale: int, max_slice_bytes: int, dct_impl: str = "aan"):
     import jax
     import jax.numpy as jnp
 
     def fn(rgb, intra_q):
         return correct_pipeline(
-            rgb, intra_q, qscale, max_slice_bytes, xp=jnp
+            rgb, intra_q, qscale, max_slice_bytes, xp=jnp, dct_impl=dct_impl
         )
 
     return jax.jit(fn)
@@ -235,8 +235,14 @@ class MPEG1IntraEncoder:
         gop_size: int = 15,
         max_slice_bytes: int = 16384,
         backend: str = "jax",
+        dct_impl: str = "auto",
     ):
         self.intra_q, self.qscale = quality_to_quant(quality)
+        # the integer AAN's +-2 noise caps PSNR ~40 dB; at fine
+        # quantization switch to the f32 MXU-matmul DCT automatically
+        if dct_impl == "auto":
+            dct_impl = "f32" if quality >= 70 else "aan"
+        self.dct_impl = dct_impl
         self.frame_rate_code = frame_rate_code
         self.fps = FRAME_RATE_VALUES[frame_rate_code]
         self.gop_size = gop_size
@@ -245,7 +251,7 @@ class MPEG1IntraEncoder:
 
     def _run_pipeline(self, padded: np.ndarray):
         if self.backend == "jax":
-            fn = _jitted_correct_pipeline(self.qscale, self.max_slice_bytes)
+            fn = _jitted_correct_pipeline(self.qscale, self.max_slice_bytes, self.dct_impl)
             seg_dev, bits_dev = fn(padded, self.intra_q)
             bits = np.asarray(bits_dev)
             used = (int(bits.max(initial=0)) + 7) // 8
@@ -253,7 +259,8 @@ class MPEG1IntraEncoder:
             seg = np.asarray(seg_dev[:, :, :bucket])
         else:
             seg, bits = correct_pipeline(
-                padded, self.intra_q, self.qscale, self.max_slice_bytes, xp=np
+                padded, self.intra_q, self.qscale, self.max_slice_bytes,
+                xp=np, dct_impl=self.dct_impl,
             )
         if int(bits.max(initial=0)) > 8 * self.max_slice_bytes:
             raise OverflowError(
