@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="frames per device batch (correct mode)")
     p.add_argument("--mesh", default=None,
                    help="use all devices as DATAxROWS mesh, e.g. '4,2'")
+    p.add_argument("--workdir", default=None,
+                   help="checkpointed encode: write per-GOP segments + "
+                        "manifest here and resume any interrupted run")
+    p.add_argument("--dct", choices=["auto", "aan", "f32"], default="auto",
+                   help="DCT kernel (correct mode): integer AAN or f32 MXU matmul")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace into DIR")
     p.add_argument("--metrics", action="store_true",
@@ -81,6 +86,13 @@ def main(argv=None) -> int:
         from ec504_imageencoder_tpu.models.mpeg1 import MPEG1IntraEncoder
         from ec504_imageencoder_tpu.syntax import headers
 
+        kw = dict(
+            quality=50 if quality is None else quality,
+            frame_rate_code=args.frame_rate_code,
+            gop_size=args.gop,
+            backend=args.backend,
+            dct_impl=args.dct,
+        )
         if args.mesh:
             from ec504_imageencoder_tpu.parallel import mesh as mesh_lib
             from ec504_imageencoder_tpu.parallel.sharded_encoder import (
@@ -88,26 +100,24 @@ def main(argv=None) -> int:
             )
 
             nd, nr = (int(x) for x in args.mesh.split(","))
-            enc = ShardedMPEG1Encoder(
-                quality=50 if quality is None else quality,
-                frame_rate_code=args.frame_rate_code,
-                gop_size=args.gop,
-                backend=args.backend,
-                mesh=mesh_lib.make_mesh(nd, nr),
-            )
+            enc = ShardedMPEG1Encoder(mesh=mesh_lib.make_mesh(nd, nr), **kw)
         else:
-            enc = MPEG1IntraEncoder(
-                quality=50 if quality is None else quality,
-                frame_rate_code=args.frame_rate_code,
-                gop_size=args.gop,
-                backend=args.backend,
+            enc = MPEG1IntraEncoder(**kw)
+        if args.workdir:
+            from ec504_imageencoder_tpu.runtime.checkpoint import encode_resumable
+
+            encode_resumable(
+                lambda s, e: frames[s:e], len(frames), args.workdir,
+                args.output, encoder=enc, metrics=metrics,
             )
-        chunks = []
-        for start in range(0, len(frames), args.batch):
-            chunks.append(
-                enc.encode(frames[start : start + args.batch], first_frame_index=start)
-            )
-        data = b"".join(chunks) + headers.sequence_end()
+            data = open(args.output, "rb").read()
+        else:
+            chunks = []
+            for start in range(0, len(frames), args.batch):
+                chunks.append(
+                    enc.encode(frames[start : start + args.batch], first_frame_index=start)
+                )
+            data = b"".join(chunks) + headers.sequence_end()
         dumps = None
         if args.bitstream_dir:
             from ec504_imageencoder_tpu.ops.color import rgb_to_ycbcr_exact
