@@ -30,14 +30,22 @@ def rgb_to_ycbcr_exact(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndar
 
 
 def rgb_to_ycbcr(rgb, xp=np):
-    """Device-friendly f32 variant; batched (..., H, W, 3) u8 -> (..., H, W) x3."""
-    f = rgb.astype(xp.float32)
-    r, g, b = f[..., 0], f[..., 1], f[..., 2]
-    y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-    to_u8 = lambda v: xp.clip(v, 0.0, 255.0).astype(xp.uint8)
-    return to_u8(y), to_u8(cb), to_u8(cr)
+    """Device colorspace kernel: 16-bit fixed point BT.601 full range.
+
+    Integer arithmetic is bit-identical on every backend — f32 here is
+    NOT (XLA fuses multiply-adds, numpy doesn't; the 1-ulp differences
+    flip rounded pixels and change downstream VLC lengths).  Rounding is
+    +0.5 via the 1<<15 bias; results clipped to u8.
+    (..., H, W, 3) u8 -> three (..., H, W) u8 planes.
+    """
+    i = rgb.astype(xp.int32)
+    r, g, b = i[..., 0], i[..., 1], i[..., 2]
+    half = 1 << 15
+    y = (19595 * r + 38470 * g + 7471 * b + half) >> 16
+    cb = ((-11059 * r - 21709 * g + 32768 * b + half) >> 16) + 128
+    cr = ((32768 * r - 27439 * g - 5329 * b + half) >> 16) + 128
+    u8 = lambda v: xp.clip(v, 0, 255).astype(xp.uint8)
+    return u8(y), u8(cb), u8(cr)
 
 
 def subsample_420(plane, xp=np):

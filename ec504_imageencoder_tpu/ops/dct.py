@@ -191,6 +191,12 @@ def matmul_dct(blocks, xp=np):
     The correct-mode encoder uses this at high quality where the AAN
     truncation noise caps PSNR around 40 dB; not usable in compat mode
     (bit-exactness requires the reference's integer arithmetic).
+
+    Determinism note: f32 accumulation order differs between backends
+    (XLA fuses multiply-adds; numpy doesn't), so streams produced with
+    this path can differ by a few bits across backends — all valid and
+    same quality.  The integer `aan_dct` path is bit-deterministic
+    everywhere and is the default below quality 70.
     """
     d = xp.asarray(dct_matrix_f32())
     b = blocks.astype(xp.float32)

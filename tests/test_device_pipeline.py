@@ -75,3 +75,27 @@ def test_input_validation():
         enc_mod.encode_compat(np.zeros((1, 600, 400, 3), np.float32))
     with pytest.raises(ValueError, match="RGB"):
         enc_mod.encode_compat(np.zeros((1, 600, 400), np.uint8))
+
+
+def test_correct_pipeline_backend_determinism_quality_sweep(small_frames):
+    """The default (aan) pipeline must produce identical bytes under numpy
+    and jax at every quality — guards against nondeterministic float ops
+    sneaking into the device path (FMA fusion flips rounded pixels)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ec504_imageencoder_tpu.models.mpeg1 import (
+        correct_pipeline,
+        pad_to_macroblocks,
+        quality_to_quant,
+    )
+
+    padded = pad_to_macroblocks(small_frames[:2, :180, :230])
+    for q in (1, 12, 60, 95):
+        iq, qs = quality_to_quant(q)
+        sn, bn = correct_pipeline(padded, iq, qs, 16384, xp=np)
+        sj, bj = jax.jit(
+            lambda f, m, qs=qs: correct_pipeline(f, m, qs, 16384, xp=jnp)
+        )(padded, iq)
+        assert np.array_equal(np.asarray(bj), bn), f"q={q} bit lengths"
+        assert np.array_equal(np.asarray(sj), sn), f"q={q} bytes"

@@ -66,12 +66,14 @@ def test_scale_quantization_matrix_reference_values():
     assert (tables.scale_quantization_matrix(1) >= 1).all()
 
 
-def test_color_exact_matches_f32_mostly(rng):
-    rgb = rng.integers(0, 256, size=(32, 32, 3)).astype(np.uint8)
+def test_color_device_kernel_close_to_exact(rng):
+    """The deterministic fixed-point device kernel stays within 1 LSB of
+    the C-double-exact path (they round differently at half-points)."""
+    rgb = rng.integers(0, 256, size=(64, 64, 3)).astype(np.uint8)
     y1, cb1, cr1 = color.rgb_to_ycbcr_exact(rgb)
     y2, cb2, cr2 = color.rgb_to_ycbcr(rgb)
     for a, b in [(y1, y2), (cb1, cb2), (cr1, cr2)]:
-        assert np.mean(a.astype(int) != b.astype(int)) < 0.01
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
 
 
 def test_color_exact_gray_truncation():
