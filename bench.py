@@ -34,7 +34,7 @@ REF_BUILD = "/tmp/ec504_bench_ref"
 
 W1080, H1080 = 1920, 1080
 PAD_H = 1088  # 1080 padded to MB multiple
-BATCH = 8
+BATCH = 4
 QUALITY = 50
 ITERS = 5
 

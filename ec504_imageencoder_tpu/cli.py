@@ -47,6 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "manifest here and resume any interrupted run")
     p.add_argument("--dct", choices=["auto", "aan", "f32"], default="auto",
                    help="DCT kernel (correct mode): integer AAN or f32 MXU matmul")
+    p.add_argument("--container", choices=["es", "ps"], default="es",
+                   help="correct mode: elementary stream or MPEG-1 program "
+                        "stream (pack/PES mux, like the reference's container)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace into DIR")
     p.add_argument("--metrics", action="store_true",
@@ -118,6 +121,11 @@ def main(argv=None) -> int:
                     enc.encode(frames[start : start + args.batch], first_frame_index=start)
                 )
             data = b"".join(chunks) + headers.sequence_end()
+        if args.container == "ps":
+            from ec504_imageencoder_tpu.syntax import mux
+
+            pics = mux.split_es_pictures(data[: -len(headers.sequence_end())])
+            data = mux.mux_program_stream(pics, fps=enc.fps)
         dumps = None
         if args.bitstream_dir:
             from ec504_imageencoder_tpu.ops.color import rgb_to_ycbcr_exact

@@ -77,7 +77,7 @@ def pack_words(codes, lens, max_words: int, xp=np):
     return out.reshape(codes.shape[:-1] + (max_words,)), nbits
 
 
-def pack_words_mxu(codes, lens, max_words: int, chunk: int = 1024):
+def pack_words_mxu(codes, lens, max_words: int, chunk: int | None = None):
     """TPU pack via chunked one-hot matmuls (no scatter, no gather).
 
     Same contract as pack_words.  For each K-chunk, contributions become a
@@ -105,6 +105,11 @@ def pack_words_mxu(codes, lens, max_words: int, chunk: int = 1024):
     w1 = xp.where(over > 0, codes << sh1, xp.uint32(0))
 
     *batch, k = codes.shape
+    if chunk is None:
+        # bound the materialized one-hot (~n*chunk*W bf16) to ~256 MB
+        n_rows = max(1, int(np.prod(batch)) if batch else 1)
+        budget = 256 * 1024 * 1024 // (2 * max_words * n_rows)
+        chunk = int(min(2048, max(128, 1 << max(budget, 1).bit_length() >> 1)))
     pad = (-k) % chunk
     if pad:
         zpad = xp.zeros(tuple(batch) + (pad,), xp.uint32)

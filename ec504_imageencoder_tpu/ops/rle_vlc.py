@@ -189,3 +189,22 @@ def correct_block_codes(zigzag: np.ndarray, is_luma: bool, dc_pred: int) -> tupl
             first = False
     codes.append(AC_EOB_CODE)
     return codes, dc
+
+
+def mv_code(value: int) -> Code:
+    """Motion vector VLC, table B.4 (reference vlc.c:108-118).
+
+    Unused by the I-frame path (as in the reference) but part of the API
+    surface.  The reference emits the magnitude code and then overwrites
+    its final bit with 1 for negative values (bitvector_pos(-1) +
+    put_bit(1)), which matches B.4's sign convention.
+    """
+    from ec504_imageencoder_tpu.utils.tables import MV_CODE, MV_LEN
+
+    if not -16 <= value <= 16:
+        raise ValueError(f"motion code out of range: {value}")
+    mag = -value if value < 0 else value
+    code, length = int(MV_CODE[mag]), int(MV_LEN[mag])
+    if value < 0:
+        code |= 1  # set the final bit
+    return code, length
