@@ -157,7 +157,7 @@ _AC_BITS = {
     13: ["00100000", "0000000000011000"],
     14: ["0000001110", "0000000000010111"],
     15: ["0000001101", "0000000000010110"],
-    16: ["0000001000", "000000000010101"],
+    16: ["0000001000", "0000000000010101"],
     17: ["000000011111"],
     18: ["000000011010"],
     19: ["000000011001"],
@@ -174,6 +174,13 @@ _AC_BITS = {
     30: ["0000000000011100"],
     31: ["0000000000011011"],
 }
+
+# The reference transcribed (16,2) with a missing zero — 15 bits,
+# "000000000010101", which DUPLICATES the (0,35) code and makes its
+# streams ambiguous (vlc.c:271; ISO B.5d has 16 bits).  The compat table
+# must reproduce the typo bit-for-bit; the correct table uses the ISO
+# code (the ambiguity was caught by the spec decoder at high quality).
+_AC_REF_ERRATA = {(16, 2): "000000000010101"}
 
 # Special codes (reference vlc.c:290-297).
 AC_FIRST_1 = ("1", 1)        # (0, +-1) as the first coefficient of a block
@@ -200,6 +207,8 @@ def _build_ac_lut(compat: bool) -> tuple[np.ndarray, np.ndarray]:
         first_level = 2 if run == 0 else 1
         for k, bits in enumerate(rows):
             level = first_level + k
+            if compat:
+                bits = _AC_REF_ERRATA.get((run, level), bits)
             if compat and run == 0:
                 # reference: lvl_idx = |level|-1 bounds-checked against 39
                 # rows then used as a direct row offset -> |level| L lands on

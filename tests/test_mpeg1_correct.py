@@ -87,3 +87,26 @@ def test_overflow_detection(crop):
     enc = MPEG1IntraEncoder(quality=95, backend="numpy", max_slice_bytes=64)
     with pytest.raises(OverflowError):
         enc.encode(crop[:1])
+
+
+def test_reference_vlc_typo_fixed_in_correct_mode():
+    """The reference transcribes (16,2) as a 15-bit code identical to
+    (0,35) (vlc.c:271 vs :210) — streams using both are undecodable.
+    Correct mode uses the ISO 16-bit code; compat keeps the reference's
+    bytes (encode-only)."""
+    from ec504_imageencoder_tpu.utils import tables
+
+    assert tables.AC_LEN_CORRECT[16, 2] == 16
+    assert tables.AC_CODE_CORRECT[16, 2] == 0b0000000000010101
+    assert tables.AC_CODE_CORRECT[0, 35] == 0b000000000010101
+    assert tables.AC_LEN_CORRECT[0, 35] == 15
+    # compat view preserves the reference bug (indexed at level-1, Q4 shift)
+    assert tables.AC_LEN_COMPAT[16, 2] == 15
+
+
+def test_high_quality_roundtrip_regression(crop):
+    """q>=75 streams exercise dense coefficients incl. the (16,2)/(0,35)
+    collision that the table typo caused."""
+    for q in (75, 95):
+        es, dec = _roundtrip(crop[:1], q)
+        assert psnr(crop[0], dec[0]) > 35.0

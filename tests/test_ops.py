@@ -111,9 +111,10 @@ def test_vlc_tables_prefix_free():
 
     def assert_prefix_free(pairs):
         seen = [(int(c), int(l)) for c, l in pairs if l > 0]
+        assert len(seen) == len(set(seen)), "duplicate codes in table"
         for i, (c1, l1) in enumerate(seen):
-            for c2, l2 in seen:
-                if (c1, l1) == (c2, l2):
+            for j, (c2, l2) in enumerate(seen):
+                if i == j:
                     continue
                 if l2 >= l1 and (c2 >> (l2 - l1)) == c1:
                     raise AssertionError(f"{c1:0{l1}b} prefixes {c2:0{l2}b}")
