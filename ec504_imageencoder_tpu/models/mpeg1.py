@@ -101,13 +101,10 @@ def correct_pipeline(rgb, intra_q, qscale, max_slice_bytes, xp=np, dct_impl="aan
         return g.transpose(0, 1, 3, 2, 4)  # (B, rows8, cols8, 8, 8)
 
     with scope("blockize"):
-        lg = blockgrid(y)
-        b_idx = np.arange(4)
-        rows = 2 * np.arange(mbh)[:, None, None] + b_idx[None, None, :] // 2
-        cols = 2 * np.arange(mbw)[None, :, None] + b_idx[None, None, :] % 2
-        rows = np.broadcast_to(rows, (mbh, mbw, 4))
-        cols = np.broadcast_to(cols, (mbh, mbw, 4))
-        luma = lg[:, xp.asarray(rows), xp.asarray(cols)]   # (B,mbh,mbw,4,8,8)
+        # pure reshape/transpose (no gather — advanced indexing lowers to a
+        # serializing XLA gather on TPU): luma MB order [TL, TR, BL, BR]
+        lg = y.reshape(bsz, mbh, 2, 8, mbw, 2, 8)
+        luma = lg.transpose(0, 1, 4, 2, 5, 3, 6).reshape(bsz, mbh, mbw, 4, 8, 8)
         cbb = blockgrid(cb)[:, :, :, None]                 # (B,mbh,mbw,1,8,8)
         crb = blockgrid(cr)[:, :, :, None]
         blocks = xp.concatenate([luma, cbb, crb], axis=3)  # (B,mbh,mbw,6,8,8)

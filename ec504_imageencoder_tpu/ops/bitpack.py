@@ -174,21 +174,44 @@ def pack_bytes(codes, lens, max_bytes: int, xp=np):
 
 
 def pack_bytes_device(codes, lens, max_bytes: int, xp=np):
-    """Backend-dispatching pack: Pallas kernel (EC504_PALLAS_PACK=1) or
-    MXU one-hot formulation on TPU, generic scatter elsewhere."""
+    """Backend-dispatching pack.
+
+    On TPU the default is the two-level windowed Pallas kernel
+    (pack_words_pallas3, 13.5 ms vs 22.4 ms for the global MXU one-hot at
+    the 12.8M-code 1080p batch); EC504_PACK=mxu|pallas1 selects the older
+    formulations.  Elsewhere (CPU mesh tests) the generic sorted-scatter
+    path runs.  Dispatch is by LOWERING platform (lax.platform_dependent),
+    not jax.default_backend(): a jit over a CPU device mesh in a process
+    whose default backend is the TPU plugin must not lower Pallas TPU
+    kernels."""
     assert max_bytes % 4 == 0
-    if xp is not np:
-        import os
+    if xp is np:
+        return pack_bytes(codes, lens, max_bytes, xp=xp)
 
-        import jax
-        import jax.numpy as jnp
+    import os
 
-        if jax.default_backend() == "tpu":
-            if os.environ.get("EC504_PALLAS_PACK") == "1":
-                from ec504_imageencoder_tpu.ops.pallas_pack import pack_words_pallas
+    import jax
+    import jax.numpy as jnp
 
-                words, nbits = pack_words_pallas(codes, lens, max_bytes // 4)
-            else:
-                words, nbits = pack_words_mxu(codes, lens, max_bytes // 4)
-            return words_to_bytes(words, xp=jnp), nbits
-    return pack_bytes(codes, lens, max_bytes, xp=xp)
+    impl = os.environ.get("EC504_PACK", "pallas3")
+    max_words = max_bytes // 4
+
+    def tpu_pack(codes, lens):
+        if impl == "pallas1":
+            from ec504_imageencoder_tpu.ops.pallas_pack import pack_words_pallas
+
+            words, nbits = pack_words_pallas(codes, lens, max_words)
+        elif impl == "pallas3" and max_words % 128 == 0 and max_words >= 384:
+            from ec504_imageencoder_tpu.ops.pallas_pack import pack_words_pallas3
+
+            words, nbits = pack_words_pallas3(codes, lens, max_words)
+        else:
+            words, nbits = pack_words_mxu(codes, lens, max_words)
+        return words_to_bytes(words, xp=jnp), nbits
+
+    def generic_pack(codes, lens):
+        return pack_bytes(codes, lens, max_bytes, xp=jnp)
+
+    return jax.lax.platform_dependent(
+        codes, lens, tpu=tpu_pack, default=generic_pack
+    )

@@ -79,12 +79,17 @@ def _byte_planes(values_u32: np.ndarray, nbytes: int) -> np.ndarray:
     return np.stack(planes, axis=1).astype(np.float32)
 
 
-def onehot_lookup_u32(idx, planes, xp, chunk: int = 8192):
+def onehot_lookup_u32(idx, planes, xp, chunk: int = 65536):
     """table[idx] for a small table via chunked one-hot MXU matmuls.
 
     idx: (...,) int32 in [0, M); planes: (M, P) f32 byte planes (numpy).
     Returns (..., P) f32 plane values (caller recombines).  Under numpy
     falls back to a plain gather.
+
+    Orientation matters: MXU cost is ~M_rows cycles per (M,K)@(K,N) tile
+    pass, so the elements must ride the N dimension, not M.  out.T (P, n)
+    = planes.T (P, M) @ onehot.T (M, n) costs P*ceil(n/128) cycles instead
+    of n — a ~40x reduction measured at the 12.8M-element AC lookup.
     """
     if xp is np:
         return planes[idx]
@@ -92,7 +97,7 @@ def onehot_lookup_u32(idx, planes, xp, chunk: int = 8192):
     import jax.numpy as jnp
 
     m, p = planes.shape
-    t = jnp.asarray(planes.astype(np.float32)).astype(jnp.bfloat16)
+    t = jnp.asarray(planes.T.astype(np.float32)).astype(jnp.bfloat16)  # (P, M)
     shape = idx.shape
     flat = idx.reshape(-1)
     n = flat.shape[0]
@@ -101,13 +106,15 @@ def onehot_lookup_u32(idx, planes, xp, chunk: int = 8192):
     ent = jnp.arange(m, dtype=jnp.int32)
 
     def body(_, ic):
-        oh = (ic[:, None] == ent[None, :]).astype(jnp.bfloat16)
+        oh_t = (ent[:, None] == ic[None, :]).astype(jnp.bfloat16)  # (M, chunk)
         return _, jax.lax.dot_general(
-            oh, t, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+            t, oh_t, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (P, chunk)
 
     _, out = jax.lax.scan(body, 0, flat.reshape(-1, chunk))
-    return out.reshape(padded, p)[:n].reshape(*shape, p)
+    # out: (nchunks, P, chunk) -> (padded, P)
+    out = out.transpose(0, 2, 1).reshape(padded, p)
+    return out[:n].reshape(*shape, p)
 
 
 def _combine_bytes(plane_vals, nbytes, xp):

@@ -164,3 +164,219 @@ def pack_bytes_pallas(codes, lens, max_bytes: int):
     assert max_bytes % 4 == 0
     words, nbits = pack_words_pallas(codes, lens, max_bytes // 4)
     return words_to_bytes(words, xp=jnp), nbits
+
+
+# ---------------------------------------------------------------------------
+# v2: transposed-matmul windowed pack.
+#
+# The v1 kernel's matmuls run as (WINDOW, CHUNK) @ (CHUNK, 2) — M=192 rows
+# through the MXU per chunk, twice, for an N of 2: ~384 MXU row-cycles per
+# 128 codes.  v2 flips the orientation and drops the second one-hot:
+#
+#   * vals ride M as 8 bf16 byte planes (exact: bytes <= 255), the window
+#     rides N: (8, CHUNK) @ (CHUNK, WINDOW) costs ~8 row-cycles per chunk.
+#   * carry contributions (the bits a code spills into word+1) accumulate
+#     at the SAME window position as planes 4..7 and the final combine
+#     shifts them one word — no second one-hot, no second matmul.
+#
+# Per-word byte-plane sums stay exact in f32: <= 16 codes can touch one
+# word (min code length 2 bits), so sums are < 16*255 << 2^24.
+
+
+def _pack2_kernel(word_ref, v_ref, wstart_ref, out_ref, *, chunk: int):
+    nch = v_ref.shape[2] // chunk
+    out_ref[...] = jnp.zeros_like(out_ref)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+
+    def chunk_body(c, _):
+        wlo = wstart_ref[0, 0, c]
+        lw = word_ref[0, 0, pl.ds(c * chunk, chunk)] - wlo      # (chunk,)
+        vals = v_ref[0, :, pl.ds(c * chunk, chunk)]             # (8, chunk)
+        oh = (lw[:, None] == lanes).astype(jnp.bfloat16)        # (chunk, WINDOW)
+        win = jax.lax.dot_general(
+            vals.astype(jnp.bfloat16), oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                       # (8, WINDOW)
+        cur = out_ref[0, pl.ds(wlo, chunk), :]
+        out_ref[0, pl.ds(wlo, chunk), :] = cur + win.T
+        return 0
+
+    jax.lax.fori_loop(0, nch, chunk_body, 0, unroll=False)
+
+
+@functools.partial(jax.jit, static_argnames=("max_words", "chunk"))
+def pack_words_pallas2(codes, lens, max_words: int, chunk: int = 256):
+    """(..., K) codes/lens -> ((..., max_words) uint32 big-endian words,
+    (...,) total bit counts).  WINDOW == chunk: within a chunk the bit
+    offset advances < chunk*32 bits, so rebased word indices stay in
+    [0, chunk)."""
+    assert max_words >= chunk
+    *batch, k = codes.shape
+    word, w0, w1, nbits = _prep(codes, lens)
+
+    pad = (-k) % chunk
+    if pad:
+        word = jnp.concatenate(
+            [word, jnp.repeat(word[..., -1:], pad, axis=-1)], axis=-1
+        )
+        zeros = jnp.zeros(tuple(batch) + (pad,), jnp.uint32)
+        w0 = jnp.concatenate([w0, zeros], axis=-1)
+        w1 = jnp.concatenate([w1, zeros], axis=-1)
+    kp = k + pad
+
+    wstart = jnp.minimum(word[..., ::chunk], max_words - chunk).astype(jnp.int32)
+    in_range = word < max_words
+    w0 = jnp.where(in_range, w0, jnp.uint32(0))
+    w1 = jnp.where(in_range, w1, jnp.uint32(0))
+    word = jnp.minimum(word, max_words - 1)
+
+    planes = jnp.stack(
+        [((v >> (8 * i)) & 0xFF).astype(jnp.float32) for v in (w0, w1) for i in range(4)],
+        axis=-2,
+    )  # (..., 8, K)
+
+    nch = kp // chunk
+    flat_word = word.reshape(-1, 1, kp).astype(jnp.int32)
+    flat_planes = planes.reshape(-1, 8, kp)
+    flat_wstart = wstart.reshape(-1, 1, nch)
+    n = flat_word.shape[0]
+
+    out = pl.pallas_call(
+        functools.partial(_pack2_kernel, chunk=chunk),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, 1, kp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, kp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nch), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, max_words, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, max_words, 8), jnp.float32),
+    )(flat_word, flat_planes, flat_wstart)
+
+    b = out.astype(jnp.uint32)
+    direct = b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16) | (b[..., 3] << 24)
+    carry = b[..., 4] | (b[..., 5] << 8) | (b[..., 6] << 16) | (b[..., 7] << 24)
+    carry = jnp.concatenate(
+        [jnp.zeros((n, 1), jnp.uint32), carry[:, :-1]], axis=-1
+    )
+    words = (direct + carry).reshape(tuple(batch) + (max_words,))
+    return words, nbits
+
+
+# ---------------------------------------------------------------------------
+# v3: two-level pack — windowed kernel WITHOUT in-loop read-modify-write.
+#
+# v2 measured ~600 ns/chunk: the per-chunk (8, W).T relayout and the
+# dynamic-offset accumulate dominate everything.  v3's kernel emits each
+# chunk's window verbatim (store only, native layout); placing windows
+# into the word buffer happens OUTSIDE the kernel as a per-slice
+# tile-level one-hot matmul (tiny M=32), which also absorbs overlapping
+# windows by summation (byte-plane sums stay bit-disjoint and < 2^12, so
+# a HIGHEST-precision f32 contraction is exact).
+#
+# Window starts are aligned down to 128-word tiles so level 2 is a pure
+# tile shift: window word j of chunk c lands at 128*tile_c + j, i.e.
+# out_tile[T] += sum_c [tile_c == T - a] win[c, 128a + j'].
+
+
+def _pack3_kernel(word_ref, v_ref, tbase_ref, out_ref, *, chunk: int,
+                  window: int, group: int):
+    """One (slice, chunk-group) per grid step: pure streaming, no dynamic
+    slicing inside the kernel (lane-dim dynamic slices relayout, ~450
+    cycles/chunk measured on the fori_loop formulation).  `group` chunks
+    are processed per step with a static loop to amortize the ~300 ns
+    per-grid-step overhead."""
+    c = pl.program_id(1)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (chunk, window), 1)
+    for g in range(group):
+        lw = word_ref[0, g, 0, :] - tbase_ref[0, 0, c * group + g] * 128
+        vals = v_ref[0, g, :, :]                                # (8, chunk)
+        oh = (lw[:, None] == lanes).astype(jnp.bfloat16)        # (chunk, window)
+        out_ref[0, g, :, :] = jax.lax.dot_general(
+            vals.astype(jnp.bfloat16), oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                       # (8, window)
+
+
+@functools.partial(jax.jit, static_argnames=("max_words", "chunk", "group"))
+def pack_words_pallas3(codes, lens, max_words: int, chunk: int = 256,
+                       group: int = 8):
+    """Two-level Pallas pack; same contract as pack_words."""
+    assert max_words % 128 == 0 and max_words >= chunk + 128
+    window = chunk + 128  # chunk spans <= chunk words + 127 alignment slack
+    *batch, k = codes.shape
+    word, w0, w1, nbits = _prep(codes, lens)
+
+    pad = (-k) % (chunk * group)
+    if pad:
+        word = jnp.concatenate(
+            [word, jnp.repeat(word[..., -1:], pad, axis=-1)], axis=-1
+        )
+        zeros = jnp.zeros(tuple(batch) + (pad,), jnp.uint32)
+        w0 = jnp.concatenate([w0, zeros], axis=-1)
+        w1 = jnp.concatenate([w1, zeros], axis=-1)
+    kp = k + pad
+    nch = kp // chunk
+
+    in_range = word < max_words
+    w0 = jnp.where(in_range, w0, jnp.uint32(0))
+    w1 = jnp.where(in_range, w1, jnp.uint32(0))
+    word = jnp.minimum(word, max_words - 1)
+    tile = (word[..., ::chunk] >> 7).astype(jnp.int32)          # (..., nch)
+
+    planes = jnp.stack(
+        [((v >> (8 * i)) & 0xFF).astype(jnp.float32) for v in (w0, w1) for i in range(4)],
+        axis=-2,
+    )  # (..., 8, K)
+
+    n = int(np.prod(batch)) if batch else 1
+    flat_word = word.reshape(n, nch, 1, chunk).astype(jnp.int32)
+    # (n, 8, K) -> (n, nch, 8, chunk): chunks on a leading block dim so the
+    # kernel never slices the lane dimension dynamically
+    flat_planes = planes.reshape(n, 8, nch, chunk).transpose(0, 2, 1, 3)
+    flat_tile = tile.reshape(n, 1, nch)
+
+    ng = nch // group
+    win = pl.pallas_call(
+        functools.partial(_pack3_kernel, chunk=chunk, window=window, group=group),
+        grid=(n, ng),
+        in_specs=[
+            pl.BlockSpec((1, group, 1, chunk), lambda i, c: (i, c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, group, 8, chunk), lambda i, c: (i, c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nch), lambda i, c: (i, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, group, 8, window), lambda i, c: (i, c, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, nch, 8, window), jnp.float32),
+    )(flat_word, flat_planes, flat_tile)
+
+    # Level 2: place windows at their tiles.  res[T] = sum_c 1[tile_c == T-a]
+    # win[c, :, 128a:128a+128], realized as one one-hot contraction over c
+    # followed by static tile shifts.
+    nt = max_words // 128
+    na = window // 128
+    oh_t = (
+        flat_tile.reshape(n, nch)[:, :, None]
+        == jnp.arange(nt, dtype=jnp.int32)[None, None, :]
+    ).astype(jnp.float32)                                       # (n, nch, NT)
+    res = jax.lax.dot_general(
+        oh_t, win, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                           # (n, NT, 8, window)
+    res = res.reshape(n, nt, 8, na, 128)
+    acc = jnp.zeros((n, nt + na, 8, 128), jnp.float32)
+    for a in range(na):
+        acc = acc.at[:, a : a + nt].add(res[:, :, :, a, :])
+    acc = acc[:, :nt]                                           # (n, NT, 8, 128)
+
+    b = acc.astype(jnp.uint32)
+    hw = b.transpose(0, 1, 3, 2).reshape(n, max_words, 8)       # (n, W, 8)
+    direct = hw[..., 0] | (hw[..., 1] << 8) | (hw[..., 2] << 16) | (hw[..., 3] << 24)
+    carry = hw[..., 4] | (hw[..., 5] << 8) | (hw[..., 6] << 16) | (hw[..., 7] << 24)
+    carry = jnp.concatenate([jnp.zeros((n, 1), jnp.uint32), carry[:, :-1]], axis=-1)
+    words = (direct + carry).reshape(tuple(batch) + (max_words,))
+    return words, nbits
