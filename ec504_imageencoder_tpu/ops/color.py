@@ -53,15 +53,16 @@ def subsample_420(plane, xp=np):
 
     (..., H, W) u8 -> (..., H//2, W//2) u8.  Sum of four u8 fits in u16;
     //4 on non-negative ints == C truncating division.
+
+    Implemented as reshape + paired sums, NOT stride-2 slices: a stride-2
+    slice on the TPU lane/sublane dims relayouts (~16 ms/plane measured at
+    4x1080p), while dim-splitting reshapes are free.
     """
     h, w = plane.shape[-2], plane.shape[-1]
     p = plane[..., : h - h % 2, : w - w % 2].astype(xp.int32)
-    s = (
-        p[..., 0::2, 0::2]
-        + p[..., 0::2, 1::2]
-        + p[..., 1::2, 0::2]
-        + p[..., 1::2, 1::2]
-    )
+    batch = p.shape[:-2]
+    rows = p.reshape(batch + (h // 2, 2, w - w % 2)).sum(axis=-2)
+    s = rows.reshape(batch + (h // 2, w // 2, 2)).sum(axis=-1)
     return (s >> 2).astype(xp.uint8)  # /4 as shift (XLA int div is costly)
 
 
