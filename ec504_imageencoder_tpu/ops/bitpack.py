@@ -176,12 +176,13 @@ def pack_bytes(codes, lens, max_bytes: int, xp=np):
 def pack_bytes_device(codes, lens, max_bytes: int, xp=np):
     """Backend-dispatching pack.
 
-    On TPU the default is the two-level windowed Pallas kernel
-    (pack_words_pallas3, 13.5 ms vs 22.4 ms for the global MXU one-hot at
-    the 12.8M-code 1080p batch); EC504_PACK=mxu|pallas1 selects the older
-    formulations.  Elsewhere (CPU mesh tests) the generic sorted-scatter
-    path runs.  Dispatch is by LOWERING platform (lax.platform_dependent),
-    not jax.default_backend(): a jit over a CPU device mesh in a process
+    On TPU the default is the fully fused superchunk Pallas kernel
+    (pack_words_fused, 12.7 ms at the 12.8M-code 1080p batch, vs 19 ms
+    two-level pallas3 and 48 ms global MXU one-hot);
+    EC504_PACK=pallas3|pallas1|mxu selects the older formulations.
+    Elsewhere (CPU mesh tests) the generic sorted-scatter path runs.
+    Dispatch is by LOWERING platform (lax.platform_dependent), not
+    jax.default_backend(): a jit over a CPU device mesh in a process
     whose default backend is the TPU plugin must not lower Pallas TPU
     kernels."""
     assert max_bytes % 4 == 0
@@ -193,7 +194,7 @@ def pack_bytes_device(codes, lens, max_bytes: int, xp=np):
     import jax
     import jax.numpy as jnp
 
-    impl = os.environ.get("EC504_PACK", "pallas3")
+    impl = os.environ.get("EC504_PACK", "fused")
     max_words = max_bytes // 4
 
     def tpu_pack(codes, lens):
@@ -205,6 +206,10 @@ def pack_bytes_device(codes, lens, max_bytes: int, xp=np):
             from ec504_imageencoder_tpu.ops.pallas_pack import pack_words_pallas3
 
             words, nbits = pack_words_pallas3(codes, lens, max_words)
+        elif impl == "fused" and max_words % 128 == 0 and max_words >= 640:
+            from ec504_imageencoder_tpu.ops.pallas_pack import pack_words_fused
+
+            words, nbits = pack_words_fused(codes, lens, max_words)
         else:
             words, nbits = pack_words_mxu(codes, lens, max_words)
         return words_to_bytes(words, xp=jnp), nbits

@@ -380,3 +380,159 @@ def pack_words_pallas3(codes, lens, max_words: int, chunk: int = 256,
     carry = jnp.concatenate([jnp.zeros((n, 1), jnp.uint32), carry[:, :-1]], axis=-1)
     words = (direct + carry).reshape(tuple(batch) + (max_words,))
     return words, nbits
+
+
+# ---------------------------------------------------------------------------
+# v4 (production: pack_words_fused): fully fused single-level pack.
+#
+# Profiling v3 at the 12.8M-code 1080p batch showed the matmul was never
+# the bottleneck: ~3.5 ms built the 8 f32 byte planes in XLA (413 MB
+# materialized + relayout), ~4 ms was the kernel's input streaming floor,
+# ~6 ms the in-kernel one-hot build, ~1 ms the level-2 placement.  This
+# version attacks all four:
+#
+#   * the kernel consumes (codes, ends, lens) directly — pure reshapes,
+#     3x51 MB of HBM traffic instead of 464 MB; word indices, the two
+#     word contributions, and their byte planes are computed in-kernel
+#     (~30 VPU ops/slot, negligible);
+#   * one-hot factorization: [lw == j] = [lw>>7 == j>>7]·[lw&127 == j&127]
+#     cuts comparisons per slot from `window` (384) to 128 + ntile and
+#     MXU work by ~3x;
+#   * 512-slot superchunks with window 640 make worst-case spans (every
+#     slot 32 bits -> 512 words) fit with NO data-dependent fallback;
+#   * output accumulates across grid steps into a VMEM-resident
+#     (8, max_words) block (standard revisited-output pattern), so the
+#     per-chunk window buffer and its HBM round trip disappear.
+#
+# Exactness: per-word byte-plane sums are bit-disjoint and <= 16*255, so
+# bf16 one-hot x byte-plane matmuls with f32 accumulation are exact.
+
+
+def _fused_kernel(codes_ref, ends_ref, lens_ref, tbase_ref, out_ref, *,
+                  S: int, ntile: int, group: int, max_words: int):
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
+    hi_iota = jax.lax.broadcasted_iota(jnp.int32, (ntile, 1, S), 0)
+
+    for g in range(group):
+        codes = codes_ref[0, g, 0, :]
+        ends = ends_ref[0, g, 0, :]
+        lens = lens_ref[0, g, 0, :]
+        tb = tbase_ref[0, 0, c * group + g] * 128
+
+        off = ends - lens
+        word = off >> 5  # off is nonnegative i32
+        in_range = word < max_words
+        lw = jnp.where(in_range, word, max_words - 1) - tb
+        s = off & 31
+        over = s + lens - 32
+        cu = codes.astype(jnp.uint32)
+        w0 = jnp.where(
+            over > 0,
+            jax.lax.shift_right_logical(cu, jnp.clip(over, 0, 31).astype(jnp.uint32)),
+            jax.lax.shift_left(cu, jnp.clip(32 - s - lens, 0, 31).astype(jnp.uint32)),
+        )
+        w1 = jnp.where(
+            over > 0,
+            jax.lax.shift_left(cu, jnp.clip(32 - over, 1, 31).astype(jnp.uint32)),
+            jnp.uint32(0),
+        )
+        w0 = jnp.where(in_range, w0, jnp.uint32(0))
+        w1 = jnp.where(in_range, w1, jnp.uint32(0))
+
+        planes = [
+            jax.lax.shift_right_logical(v, jnp.uint32(8 * i)) & jnp.uint32(0xFF)
+            for v in (w0, w1) for i in range(4)
+        ]
+        vals = jnp.stack(
+            [p.astype(jnp.int32).astype(jnp.bfloat16) for p in planes], axis=0
+        )  # (8, S); u32->bf16 unsupported in Mosaic, route via i32
+
+        hi = lw >> 7
+        lo = lw & 127
+        oh_hi = (jax.lax.broadcast_in_dim(hi, (ntile, 1, S), (2,)) == hi_iota
+                 ).astype(jnp.bfloat16)
+        vh = (jax.lax.broadcast_in_dim(vals, (ntile, 8, S), (1, 2)) * oh_hi
+              ).reshape(ntile * 8, S)
+        oh_lo = (jax.lax.broadcast_in_dim(lo, (S, 128), (0,)) == lanes
+                 ).astype(jnp.bfloat16)
+        win = jax.lax.dot_general(
+            vh, oh_lo, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(ntile, 8, 128)
+
+        idx = pl.multiple_of(tb, 128)
+        for h in range(ntile):
+            cur = out_ref[0, :, pl.ds(idx + h * 128, 128)]
+            out_ref[0, :, pl.ds(idx + h * 128, 128)] = cur + win[h]
+
+
+@functools.partial(jax.jit, static_argnames=("max_words", "S", "group"))
+def pack_words_fused(codes, lens, max_words: int, S: int = 512, group: int = 16):
+    """Same contract as pack_words; the production TPU pack kernel.
+
+    Negative result worth recording: fusing the bit-offset cumsum into the
+    kernel as a per-superchunk (1,S)x(S,S) strict-triangular MXU matmul
+    with an SMEM carry was ~5 ms SLOWER than the XLA cumsum it replaced —
+    the (S,S) weight reload streams S rows through the MXU per superchunk,
+    dwarfing the saved memory passes.  The XLA cumsum stays outside."""
+    window = S + 128
+    ntile = window // 128
+    assert max_words % 128 == 0 and max_words >= window
+    *batch, k = codes.shape
+    codes = jnp.where(lens > 0, codes.astype(jnp.uint32), jnp.uint32(0))
+    lens = lens.astype(jnp.int32)
+    ends = jnp.cumsum(lens, axis=-1)
+    nbits = ends[..., -1]
+
+    pad = (-k) % (S * group)
+    if pad:
+        zeros = jnp.zeros(tuple(batch) + (pad,), jnp.int32)
+        codes = jnp.concatenate([codes, zeros.astype(jnp.uint32)], axis=-1)
+        lens = jnp.concatenate([lens, zeros], axis=-1)
+        ends = jnp.concatenate(
+            [ends, jnp.repeat(ends[..., -1:], pad, axis=-1)], axis=-1
+        )
+    kp = k + pad
+    nsc = kp // S
+
+    first_word = (ends[..., ::S] - lens[..., ::S]) >> 5
+    tile = jnp.minimum(
+        jnp.minimum(first_word, max_words - 1) >> 7, (max_words - window) // 128
+    ).astype(jnp.int32)
+
+    n = int(np.prod(batch)) if batch else 1
+    flat_codes = codes.reshape(n, nsc, 1, S).astype(jnp.int32)
+    flat_ends = ends.reshape(n, nsc, 1, S).astype(jnp.int32)
+    flat_lens = lens.reshape(n, nsc, 1, S)
+    flat_tile = tile.reshape(n, 1, nsc)
+
+    ng = nsc // group
+    out = pl.pallas_call(
+        functools.partial(
+            _fused_kernel, S=S, ntile=ntile, group=group, max_words=max_words
+        ),
+        grid=(n, ng),
+        in_specs=[
+            pl.BlockSpec((1, group, 1, S), lambda i, c: (i, c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, group, 1, S), lambda i, c: (i, c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, group, 1, S), lambda i, c: (i, c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nsc), lambda i, c: (i, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 8, max_words), lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, 8, max_words), jnp.float32),
+    )(flat_codes, flat_ends, flat_lens, flat_tile)
+
+    b = out.astype(jnp.uint32)
+    direct = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16) | (b[:, 3] << 24)
+    carry = b[:, 4] | (b[:, 5] << 8) | (b[:, 6] << 16) | (b[:, 7] << 24)
+    carry = jnp.concatenate([jnp.zeros((n, 1), jnp.uint32), carry[:, :-1]], axis=-1)
+    words = (direct + carry).reshape(tuple(batch) + (max_words,))
+    return words, nbits
