@@ -124,6 +124,139 @@ def _combine_bytes(plane_vals, nbytes, xp):
     return acc
 
 
+def onehot_lookup_packed(idx, values_u32: np.ndarray, value_bits: int, xp,
+                         cols: int = 4096, sub_bits: int = 4, epc: int = 6):
+    """Sliced-table one-hot lookup: several elements per MXU column, exact.
+
+    The plain one-hot matmul costs ~1 MXU cycle per element: N columns
+    stream one per cycle and only a handful of the 128 output rows (M) do
+    useful work.  This version fills both idle dimensions at once:
+
+      * the table is split into n_h sub-tables of 2**sub_bits entries
+        (idx = 16*h + l for the default);
+      * each column carries `epc` elements, element t occupying the
+        disjoint K-range [t*sub, (t+1)*sub) at position l_t — one-hots
+        stay 0/1 (no scale mixing, bf16-exact even when indices collide);
+      * the M axis carries every (element, h, byte-plane) candidate:
+        row (t, h, b) holds byte b of sub-table h over element t's
+        K-range.  Each output element is a single 1*byte product — exact.
+
+    Post-matmul, XLA selects the right h-candidate per element (h is
+    known from idx).  MXU cost drops to 1/epc cycles per element.
+
+    Requires epc * 2**sub_bits <= 128 (K) and epc * n_h * nbytes <= 128
+    (M).  For the 128-entry AC table: sub=16, n_h=7 (indices clipped to
+    [0, 112)), epc=6, 3 byte planes -> K=96, M=126.
+
+    idx: (...,) int32 in [0, n_h * 2**sub_bits); returns (...,) uint32.
+    """
+    if xp is np:
+        return values_u32[idx]
+    import jax
+    import jax.numpy as jnp
+
+    m = values_u32.shape[0]
+    sub = 1 << sub_bits
+    n_h = -(-m // sub)
+    nv = (value_bits + 7) // 8
+    assert epc * sub <= 128 and epc * n_h * nv <= 128
+    padded_tbl = np.zeros(n_h * sub, np.uint32)
+    padded_tbl[:m] = values_u32
+
+    # T[(t*n_h + h)*nv + b, t*sub + l] = byte b of table[h*sub + l]
+    tbl = np.zeros((epc * n_h * nv, epc * sub), np.float32)
+    for t in range(epc):
+        for h in range(n_h):
+            for b in range(nv):
+                tbl[(t * n_h + h) * nv + b, t * sub : (t + 1) * sub] = (
+                    (padded_tbl[h * sub : (h + 1) * sub] >> (8 * b)) & 0xFF
+                )
+    tmat = jnp.asarray(tbl).astype(jnp.bfloat16)
+
+    shape = idx.shape
+    flat = idx.reshape(-1).astype(jnp.int32)
+    n = flat.shape[0]
+    group = epc * cols
+    padded = n + (-n) % group
+    flat = jnp.concatenate([flat, jnp.zeros((padded - n,), flat.dtype)])
+    blocks = flat.reshape(-1, epc, cols)
+
+    def decode(ic, out, cols_n):
+        """Select each element's h-candidate rows and recombine bytes."""
+        per_t = []
+        for t in range(epc):
+            ht = ic[t, :] >> sub_bits
+            acc = jnp.zeros((cols_n,), jnp.uint32)
+            for b in range(nv):
+                byte = jnp.zeros((cols_n,), jnp.uint32)
+                for h in range(n_h):
+                    # route f32 -> i32 -> u32 (direct f32->u32 unsupported
+                    # in Mosaic); values are small nonneg ints, exact
+                    cand = out[(t * n_h + h) * nv + b, :].astype(jnp.int32).astype(jnp.uint32)
+                    byte = jnp.where(ht == h, cand, byte)
+                acc = acc | (byte << (8 * b))
+            per_t.append(acc)
+        return jnp.stack(per_t, axis=0)                    # (epc, cols)
+
+    def tpu_lookup(blocks):
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        def kernel(ic_ref, t_ref, out_ref):
+            ic = ic_ref[0]                                 # (epc, cols) i32
+            ent = jax.lax.broadcasted_iota(jnp.int32, (sub, cols), 0)
+            oh = jnp.concatenate(
+                [
+                    (ent == (ic[t, :] & (sub - 1))[None, :]).astype(jnp.bfloat16)
+                    for t in range(epc)
+                ],
+                axis=0,
+            )                                              # (epc*sub, cols)
+            out = jax.lax.dot_general(
+                t_ref[...], oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                              # (M, cols)
+            out_ref[0] = decode(ic, out, cols)
+
+        nblk = blocks.shape[0]
+        return pl.pallas_call(
+            kernel,
+            grid=(nblk,),
+            in_specs=[
+                pl.BlockSpec((1, epc, cols), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(tmat.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, epc, cols), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nblk, epc, cols), jnp.uint32),
+        )(blocks, tmat)
+
+    def xla_lookup(blocks):
+        ent = jnp.arange(sub, dtype=jnp.int32)
+
+        def body(_, ic):                                   # ic: (epc, cols)
+            oh = jnp.concatenate(
+                [
+                    (ent[:, None] == (ic[t, :] & (sub - 1))[None, :]).astype(jnp.bfloat16)
+                    for t in range(epc)
+                ],
+                axis=0,
+            )
+            out = jax.lax.dot_general(
+                tmat, oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return _, decode(ic, out, cols)
+
+        _, val = jax.lax.scan(body, 0, blocks)
+        return val
+
+    val = jax.lax.platform_dependent(blocks, tpu=tpu_lookup, default=xla_lookup)
+    return val.reshape(-1)[:n].reshape(shape)
+
+
 @functools.lru_cache(maxsize=None)
 def _ac_planes():
     # code needs 2 bytes (max 16-bit codes), len 1 byte -> 3 planes
@@ -147,34 +280,31 @@ def ac_table_lookup(ri, al, xp, compat: bool = False):
     else:
         k = al - xp.where(ri == 0, 2, 1)
     valid = (ri <= 31) & (k >= 0) & (k < count)
-    rank = xp.clip(base + k, 0, 127)
-    planes = _ac_planes()
-    pad = np.zeros((128 - planes.shape[0], planes.shape[1]), np.float32)
-    table = np.concatenate([planes, pad], axis=0) if planes.shape[0] < 128 else planes
-    vals = onehot_lookup_u32(rank, table, xp)
-    code = _combine_bytes(vals[..., 0:2], 2, xp)
-    length = vals[..., 2].astype(xp.int32)
+    rank = xp.clip(base + k, 0, 111)  # 111 real rows; keeps n_h*sub == 112
+    packed_tbl = (AC_RANK_CODE | (AC_RANK_LEN.astype(np.uint32) << 16))[:112]
+    vals = onehot_lookup_packed(rank, packed_tbl, 21, xp)
+    code = vals & xp.uint32(0xFFFF)
+    length = (vals >> 16).astype(xp.int32)
     code = xp.where(valid, code, xp.uint32(0))
     length = xp.where(valid, length, 0)
     return code, length
 
 
 @functools.lru_cache(maxsize=None)
-def _dc_planes():
-    # combined index: is_luma * 16 + size (sizes 0..8) -> 32 entries padded
+def _dc_packed():
+    # combined index: is_luma * 16 + size (sizes 0..8) -> 32 entries padded;
+    # value = code | len << 8 (codes <= 7 bits, lens <= 7)
     code = np.zeros(32, np.uint32)
-    length = np.zeros(32, np.int32)
+    length = np.zeros(32, np.uint32)
     code[0:9] = tables.DC_SIZE_CHROMA_CODE
     length[0:9] = tables.DC_SIZE_CHROMA_LEN
     code[16:25] = tables.DC_SIZE_LUMA_CODE
     length[16:25] = tables.DC_SIZE_LUMA_LEN
-    return np.concatenate(
-        [_byte_planes(code, 2), length.astype(np.float32)[:, None]], axis=1
-    )
+    return code | (length << 8)
 
 
 def dc_size_lookup(is_luma_i, size, xp):
     """(code, len) of the dct_dc_size VLC, both components."""
     idx = is_luma_i * 16 + size
-    vals = onehot_lookup_u32(idx, _dc_planes(), xp)
-    return _combine_bytes(vals[..., 0:2], 2, xp), vals[..., 2].astype(xp.int32)
+    vals = onehot_lookup_packed(idx, _dc_packed(), 12, xp)
+    return vals & xp.uint32(0xFF), (vals >> 8).astype(xp.int32)

@@ -536,3 +536,359 @@ def pack_words_fused(codes, lens, max_words: int, S: int = 512, group: int = 16)
     carry = jnp.concatenate([jnp.zeros((n, 1), jnp.uint32), carry[:, :-1]], axis=-1)
     words = (direct + carry).reshape(tuple(batch) + (max_words,))
     return words, nbits
+
+
+# ---------------------------------------------------------------------------
+# v5 (pack_words_fused4): 4:1 slot fusion ahead of the fused kernel.
+#
+# v4's cost floor is one MXU cycle per SLOT (the lo one-hot streams one
+# column per slot through the (ntile*8, S) x (S, 128) contraction), so the
+# remaining lever is slot count.  Adjacent (code, len) pairs fuse exactly:
+# (c1, l1) + (c2, l2) -> (c1*2^l2 | c2, l1+l2).  Two fusion levels take
+# 65 slots/block to ~17 with NO data-dependent fallback: lens <= 32 fuse
+# to <= 64-bit (2-word) values, those fuse to <= 128-bit (4-word) values.
+# A fused slot spans <= 5 output words, so the kernel emits 20 byte
+# planes (M = ntile*20 = 100 <= 128 — M rides free on the MXU) and the
+# final combine shifts plane-group j by j words.  Net: ~4x fewer MXU
+# columns for ~2.5x more VPU prep on 4x fewer slots.
+#
+# Exactness: >= 32 fused slots can't start in one word (each nonempty one
+# covers >= 1 bit), so per-word byte-plane sums are <= 32*255 << 2^24.
+
+
+def _pairs(a, xp):
+    """(..., 2K) -> ((..., K) even elements, (..., K) odd elements)."""
+    r = a.reshape(a.shape[:-1] + (-1, 2))
+    return r[..., 0], r[..., 1]
+
+
+def _fuse2_32(codes, lens, xp):
+    """Fuse adjacent (<=32-bit code, len<=32) pairs -> (hi, lo, len<=64).
+
+    V = c1 * 2^l2 | c2, exactly (disjoint bit ranges).
+    """
+    c1, c2 = _pairs(codes, xp)
+    l1, l2 = _pairs(lens, xp)
+    r = (l2 & 31).astype(xp.uint32)
+    rr = (xp.uint32(32) - r) & xp.uint32(31)
+    hi = xp.where(l2 > 0, c1 >> rr, xp.uint32(0))      # l2==32 -> rr=0 -> c1
+    lo = xp.where(l2 < 32, c1 << r, xp.uint32(0)) | c2
+    return hi, lo, l1 + l2
+
+
+def _fuse2_64(hi, lo, lens, xp):
+    """Fuse adjacent (<=64-bit hi:lo, len<=64) pairs -> 4 words + len<=128.
+
+    Returns (v0, v1, v2, v3, len) with v0 the most-significant word of the
+    right-aligned 128-bit value VA * 2^LB | VB.
+    """
+    a_hi, b_hi = _pairs(hi, xp)
+    a_lo, b_lo = _pairs(lo, xp)
+    l1, l2 = _pairs(lens, xp)
+    q = l2 >> 5                                        # 0..2
+    r = (l2 & 31).astype(xp.uint32)
+    rr = (xp.uint32(32) - r) & xp.uint32(31)
+    g1 = xp.where(r > 0, a_hi >> rr, xp.uint32(0))
+    g2 = (a_hi << r) | xp.where(r > 0, a_lo >> rr, xp.uint32(0))
+    g3 = a_lo << r
+    z = xp.zeros_like(g1)
+    # [0, g1, g2, g3] shifted up by q words
+    v0 = xp.where(q == 2, g2, xp.where(q == 1, g1, z))
+    v1 = xp.where(q == 2, g3, xp.where(q == 1, g2, g1))
+    v2 = xp.where(q == 2, z, xp.where(q == 1, g3, g2))
+    v3 = xp.where(q >= 1, z, g3)
+    return v0, v1, v2 | b_hi, v3 | b_lo, l1 + l2
+
+
+def _fused2w_kernel(v_ref, ends_ref, lens_ref, tbase_ref, out_ref, *,
+                    S: int, ntile: int, group: int, max_words: int):
+    """Level-1-fused pack: <=64-bit (hi, lo) slots, 3-word span, 12 planes.
+
+    One fusion level halves the slot count while keeping S=512 (M =
+    ntile*12 = 108 <= 128), so per-superchunk overhead amortizes like v4
+    but over twice the raw codes.  (The 4:1 kernel below is M-bound at
+    S=128 and loses its MXU win to per-superchunk overhead — measured
+    14.5 ms vs 12.9 v4 vs 7.2 this, at the 12.8M-code 1080p batch.)
+    """
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
+    hi_iota = jax.lax.broadcasted_iota(jnp.int32, (ntile, 1, S), 0)
+
+    for g in range(group):
+        v = v_ref[0, g]                              # (2, S) i32: hi, lo
+        ends = ends_ref[0, g, 0, :]
+        lens = lens_ref[0, g, 0, :]
+        tb = tbase_ref[0, 0, c * group + g] * 128
+
+        off = ends - lens
+        word = off >> 5
+        in_range = word < max_words
+        lw = jnp.where(in_range, word, max_words - 1) - tb
+        s = off & 31
+
+        sig = 96 - s - lens                          # window shift, 5-bitty
+        q = sig >> 5                                 # 0..3
+        r = (sig & 31).astype(jnp.uint32)
+        rr = (jnp.uint32(32) - r) & jnp.uint32(31)
+        vhi = jnp.where(in_range, v[0].astype(jnp.uint32), jnp.uint32(0))
+        vlo = jnp.where(in_range, v[1].astype(jnp.uint32), jnp.uint32(0))
+        z = jnp.zeros_like(vhi)
+        f0 = jnp.where(r > 0, vhi >> rr, jnp.uint32(0))
+        f1 = (vhi << r) | jnp.where(r > 0, vlo >> rr, jnp.uint32(0))
+        f2 = vlo << r
+        f = [f0, f1, f2]
+        w = []
+        for j in range(3):
+            acc = z
+            for qq in range(4):
+                if j + qq <= 2:
+                    acc = jnp.where(q == qq, f[j + qq], acc)
+            w.append(acc)
+
+        planes = [
+            jax.lax.shift_right_logical(wj, jnp.uint32(8 * i)) & jnp.uint32(0xFF)
+            for wj in w for i in range(4)
+        ]
+        vals = jnp.stack(
+            [p.astype(jnp.int32).astype(jnp.bfloat16) for p in planes], axis=0
+        )                                            # (12, S)
+
+        hi = lw >> 7
+        lo = lw & 127
+        oh_hi = (jax.lax.broadcast_in_dim(hi, (ntile, 1, S), (2,)) == hi_iota
+                 ).astype(jnp.bfloat16)
+        vh = (jax.lax.broadcast_in_dim(vals, (ntile, 12, S), (1, 2)) * oh_hi
+              ).reshape(ntile * 12, S)
+        oh_lo = (jax.lax.broadcast_in_dim(lo, (S, 128), (0,)) == lanes
+                 ).astype(jnp.bfloat16)
+        # output (window-words, planes): the accumulate below then slices
+        # the SUBLANE dim dynamically (lane-dim dynamic slices relayout,
+        # ~450 cycles each — they dominated the v4 kernel)
+        win = jax.lax.dot_general(
+            oh_lo, vh, (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                            # (128, ntile*12)
+
+        idx = pl.multiple_of(tb, 128)
+        for h in range(ntile):
+            cur = out_ref[0, pl.ds(idx + h * 128, 128), :]
+            out_ref[0, pl.ds(idx + h * 128, 128), :] = (
+                cur + win[:, h * 12 : (h + 1) * 12]
+            )
+
+
+@functools.partial(jax.jit, static_argnames=("max_words", "S", "group"))
+def pack_words_fused2w(codes, lens, max_words: int, S: int = 512, group: int = 16):
+    """Same contract as pack_words; level-1-fused production kernel."""
+    window = 2 * S + 128
+    ntile = window // 128
+    assert ntile * 12 <= 128, "byte-plane rows exceed one MXU tile"
+    assert max_words % 128 == 0 and max_words >= window
+    *batch, k = codes.shape
+    codes = jnp.where(lens > 0, codes.astype(jnp.uint32), jnp.uint32(0))
+    lens = lens.astype(jnp.int32)
+
+    pad = (-k) % (2 * S * group)
+    if pad:
+        codes = jnp.concatenate(
+            [codes, jnp.zeros(tuple(batch) + (pad,), jnp.uint32)], axis=-1
+        )
+        lens = jnp.concatenate(
+            [lens, jnp.zeros(tuple(batch) + (pad,), jnp.int32)], axis=-1
+        )
+
+    vhi, vlo, flens = _fuse2_32(codes, lens, jnp)
+    ends = jnp.cumsum(flens, axis=-1)
+    nbits = ends[..., -1]
+    kf = ends.shape[-1]
+    nsc = kf // S
+
+    first_word = (ends[..., ::S] - flens[..., ::S]) >> 5
+    tile = jnp.minimum(
+        jnp.minimum(first_word, max_words - 1) >> 7, (max_words - window) // 128
+    ).astype(jnp.int32)
+
+    n = int(np.prod(batch)) if batch else 1
+    vwords = jnp.stack([vhi, vlo], axis=-2)           # (..., 2, kf)
+    flat_v = vwords.reshape(n, 2, nsc, S).transpose(0, 2, 1, 3).astype(jnp.int32)
+    flat_ends = ends.reshape(n, nsc, 1, S).astype(jnp.int32)
+    flat_lens = flens.reshape(n, nsc, 1, S)
+    flat_tile = tile.reshape(n, 1, nsc)
+
+    ng = nsc // group
+    out = pl.pallas_call(
+        functools.partial(
+            _fused2w_kernel, S=S, ntile=ntile, group=group, max_words=max_words
+        ),
+        grid=(n, ng),
+        in_specs=[
+            pl.BlockSpec((1, group, 2, S), lambda i, c: (i, c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, group, 1, S), lambda i, c: (i, c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, group, 1, S), lambda i, c: (i, c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nsc), lambda i, c: (i, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, max_words, 12), lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, max_words, 12), jnp.float32),
+    )(flat_v, flat_ends, flat_lens, flat_tile)
+
+    b = out.astype(jnp.uint32)
+    words = jnp.zeros((n, max_words), jnp.uint32)
+    for j in range(3):
+        grp = (b[:, :, 4 * j] | (b[:, :, 4 * j + 1] << 8)
+               | (b[:, :, 4 * j + 2] << 16) | (b[:, :, 4 * j + 3] << 24))
+        if j:
+            grp = jnp.concatenate(
+                [jnp.zeros((n, j), jnp.uint32), grp[:, :-j]], axis=-1
+            )
+        words = words + grp                            # bit-disjoint adds
+    return words.reshape(tuple(batch) + (max_words,)), nbits
+
+
+def _fused4_kernel(v_ref, ends_ref, lens_ref, tbase_ref, out_ref, *,
+                   S: int, ntile: int, group: int, max_words: int):
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
+    hi_iota = jax.lax.broadcasted_iota(jnp.int32, (ntile, 1, S), 0)
+
+    for g in range(group):
+        v = v_ref[0, g]                              # (4, S) i32 value words
+        ends = ends_ref[0, g, 0, :]
+        lens = lens_ref[0, g, 0, :]
+        tb = tbase_ref[0, 0, c * group + g] * 128
+
+        off = ends - lens
+        word = off >> 5
+        in_range = word < max_words
+        lw = jnp.where(in_range, word, max_words - 1) - tb
+        s = off & 31
+
+        # window alignment: value << (160 - s - len) over 5 words
+        sig = 160 - s - lens
+        q = sig >> 5                                 # 0..5
+        r = (sig & 31).astype(jnp.uint32)
+        rr = (32 - r) & jnp.uint32(31)
+        vm = [
+            jnp.where(in_range, v[i].astype(jnp.uint32), jnp.uint32(0))
+            for i in range(4)
+        ]
+        u = [jnp.zeros_like(vm[0])] + vm             # U[0]=0, U[1..4]=v0..v3
+        f = []
+        for i in range(5):
+            nxt = u[i + 1] if i + 1 <= 4 else jnp.zeros_like(u[0])
+            f.append((u[i] << r) | jnp.where(r > 0, nxt >> rr, jnp.uint32(0)))
+        w = []
+        for j in range(5):
+            acc = jnp.zeros_like(f[0])
+            for qq in range(6):
+                if j + qq <= 4:
+                    acc = jnp.where(q == qq, f[j + qq], acc)
+            w.append(acc)
+
+        planes = [
+            jax.lax.shift_right_logical(wj, jnp.uint32(8 * i)) & jnp.uint32(0xFF)
+            for wj in w for i in range(4)
+        ]
+        vals = jnp.stack(
+            [p.astype(jnp.int32).astype(jnp.bfloat16) for p in planes], axis=0
+        )                                            # (20, S)
+
+        hi = lw >> 7
+        lo = lw & 127
+        oh_hi = (jax.lax.broadcast_in_dim(hi, (ntile, 1, S), (2,)) == hi_iota
+                 ).astype(jnp.bfloat16)
+        vh = (jax.lax.broadcast_in_dim(vals, (ntile, 20, S), (1, 2)) * oh_hi
+              ).reshape(ntile * 20, S)
+        oh_lo = (jax.lax.broadcast_in_dim(lo, (S, 128), (0,)) == lanes
+                 ).astype(jnp.bfloat16)
+        win = jax.lax.dot_general(
+            vh, oh_lo, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(ntile, 20, 128)
+
+        idx = pl.multiple_of(tb, 128)
+        for h in range(ntile):
+            cur = out_ref[0, :, pl.ds(idx + h * 128, 128)]
+            out_ref[0, :, pl.ds(idx + h * 128, 128)] = cur + win[h]
+
+
+@functools.partial(jax.jit, static_argnames=("max_words", "S", "group"))
+def pack_words_fused4(codes, lens, max_words: int, S: int = 128, group: int = 16):
+    """Same contract as pack_words; 4:1 slot-fused production kernel."""
+    window = 4 * S + 128
+    ntile = window // 128
+    assert ntile * 20 <= 128, "byte-plane rows exceed one MXU tile"
+    assert max_words % 128 == 0 and max_words >= window
+    *batch, k = codes.shape
+    codes = jnp.where(lens > 0, codes.astype(jnp.uint32), jnp.uint32(0))
+    lens = lens.astype(jnp.int32)
+
+    pad = (-k) % (4 * S * group)
+    if pad:
+        codes = jnp.concatenate(
+            [codes, jnp.zeros(tuple(batch) + (pad,), jnp.uint32)], axis=-1
+        )
+        lens = jnp.concatenate(
+            [lens, jnp.zeros(tuple(batch) + (pad,), jnp.int32)], axis=-1
+        )
+
+    # two exact fusion levels: (<=32b)x2 -> <=64b, (<=64b)x2 -> <=128b
+    h1, l1, len1 = _fuse2_32(codes, lens, jnp)
+    v0, v1, v2, v3, flens = _fuse2_64(h1, l1, len1, jnp)
+    ends = jnp.cumsum(flens, axis=-1)
+    nbits = ends[..., -1]
+    kf = ends.shape[-1]                               # fused slot count
+    nsc = kf // S
+
+    first_word = (ends[..., ::S] - flens[..., ::S]) >> 5
+    tile = jnp.minimum(
+        jnp.minimum(first_word, max_words - 1) >> 7, (max_words - window) // 128
+    ).astype(jnp.int32)
+
+    n = int(np.prod(batch)) if batch else 1
+    vwords = jnp.stack([v0, v1, v2, v3], axis=-2)     # (..., 4, kf)
+    flat_v = vwords.reshape(n, 4, nsc, S).transpose(0, 2, 1, 3).astype(jnp.int32)
+    flat_ends = ends.reshape(n, nsc, 1, S).astype(jnp.int32)
+    flat_lens = flens.reshape(n, nsc, 1, S)
+    flat_tile = tile.reshape(n, 1, nsc)
+
+    ng = nsc // group
+    out = pl.pallas_call(
+        functools.partial(
+            _fused4_kernel, S=S, ntile=ntile, group=group, max_words=max_words
+        ),
+        grid=(n, ng),
+        in_specs=[
+            pl.BlockSpec((1, group, 4, S), lambda i, c: (i, c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, group, 1, S), lambda i, c: (i, c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, group, 1, S), lambda i, c: (i, c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nsc), lambda i, c: (i, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 20, max_words), lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, 20, max_words), jnp.float32),
+    )(flat_v, flat_ends, flat_lens, flat_tile)
+
+    b = out.astype(jnp.uint32)
+    words = jnp.zeros((n, max_words), jnp.uint32)
+    for j in range(5):
+        grp = (b[:, 4 * j] | (b[:, 4 * j + 1] << 8)
+               | (b[:, 4 * j + 2] << 16) | (b[:, 4 * j + 3] << 24))
+        if j:
+            grp = jnp.concatenate(
+                [jnp.zeros((n, j), jnp.uint32), grp[:, :-j]], axis=-1
+            )
+        words = words + grp                            # bit-disjoint adds
+    return words.reshape(tuple(batch) + (max_words,)), nbits
