@@ -34,9 +34,15 @@ REF_BUILD = "/tmp/ec504_bench_ref"
 
 W1080, H1080 = 1920, 1080
 PAD_H = 1088  # 1080 padded to MB multiple
-BATCH = 4
+BATCH = int(os.environ.get("EC504_BENCH_BATCH", "4"))
 QUALITY = 50
-ITERS = 5
+ITERS = int(os.environ.get("EC504_BENCH_ITERS", "5"))
+
+_T0 = time.time()
+
+
+def _log(msg: str) -> None:
+    print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
 def measure_reference() -> dict:
@@ -79,10 +85,12 @@ def measure_tpu_1080p() -> dict:
         quality_to_quant,
     )
 
+    _log(f"jax imported; discovering devices (slow over the dev tunnel)")
+    dev = jax.devices()[0]
+    _log(f"device: {dev}")
+
     intra_q, qscale = quality_to_quant(QUALITY)
     max_slice_bytes = 16384
-    rng = np.random.default_rng(0)
-    frames = rng.integers(0, 256, (BATCH, PAD_H, W1080, 3), dtype=np.uint8)
 
     fn = _jitted_correct_pipeline(qscale, max_slice_bytes)
 
@@ -91,16 +99,26 @@ def measure_tpu_1080p() -> dict:
     def sync(out):
         return float(np.asarray(jnp.sum(out[1].astype(jnp.float32))))
 
+    # Generate the frame batch ON DEVICE: the dev tunnel uploads ~25 MB of
+    # host frames at O(minutes), and the metric is the device pipeline on
+    # device-resident frames anyway (BASELINE.md separates host decode).
     t0 = time.perf_counter()
-    frames_dev = jax.device_put(frames)
+    gen = jax.jit(
+        lambda: jax.random.randint(
+            jax.random.PRNGKey(0), (BATCH, PAD_H, W1080, 3), 0, 256, jnp.int32
+        ).astype(jnp.uint8)
+    )
+    frames_dev = gen()
     intra_dev = jax.device_put(intra_q)
     _ = np.asarray(frames_dev[0, 0, 0]), np.asarray(intra_dev[0, 0])
     t_upload = time.perf_counter() - t0
+    _log(f"device input ready in {t_upload:.1f}s; compiling pipeline")
 
     t0 = time.perf_counter()
     out = fn(frames_dev, intra_dev)
     sync(out)
     t_compile = time.perf_counter() - t0
+    _log(f"compiled + first run in {t_compile:.1f}s")
 
     # measure the dispatch+fetch floor so it can be subtracted
     tiny = jax.jit(lambda x: x + 1.0)
@@ -112,11 +130,12 @@ def measure_tpu_1080p() -> dict:
     rtt = (time.perf_counter() - t0) / 3
 
     times = []
-    for _ in range(ITERS):
+    for i in range(ITERS):
         t0 = time.perf_counter()
         out = fn(frames_dev, intra_dev)
         sync(out)
         times.append(time.perf_counter() - t0)
+        _log(f"iter {i + 1}/{ITERS}: {times[-1]:.3f}s")
     step = max(min(times) - rtt, 1e-6)
 
     bits = np.asarray(out[1])
@@ -133,7 +152,9 @@ def measure_tpu_1080p() -> dict:
 
 
 def main() -> None:
+    _log("building + timing reference C encoder")
     ref = measure_reference()
+    _log(f"reference: {ref}")
     tpu = measure_tpu_1080p()
     value = tpu["fps"]
     base = ref.get("fps_1080_equiv")

@@ -47,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "manifest here and resume any interrupted run")
     p.add_argument("--dct", choices=["auto", "aan", "f32"], default="auto",
                    help="DCT kernel (correct mode): integer AAN or f32 MXU matmul")
+    p.add_argument("--color-range", choices=["studio", "full"], default="studio",
+                   help="correct mode: 'studio' = BT.601 limited range "
+                        "(16-235, what standard MPEG-1 players assume); "
+                        "'full' = reference JPEG-style full range")
     p.add_argument("--container", choices=["es", "ps"], default="es",
                    help="correct mode: elementary stream or MPEG-1 program "
                         "stream (pack/PES mux, like the reference's container)")
@@ -95,6 +99,7 @@ def main(argv=None) -> int:
             gop_size=args.gop,
             backend=args.backend,
             dct_impl=args.dct,
+            color_range=args.color_range,
         )
         if args.mesh:
             from ec504_imageencoder_tpu.parallel import mesh as mesh_lib

@@ -192,8 +192,12 @@ def _idct(f: np.ndarray) -> np.ndarray:
     return np.clip(np.round(pix), 0, 255).astype(np.uint8)
 
 
-def decode_es(data: bytes) -> list[np.ndarray]:
-    """Decode an all-intra MPEG-1 video ES into RGB frames."""
+def decode_es(data: bytes, color_range: str = "studio") -> list[np.ndarray]:
+    """Decode an all-intra MPEG-1 video ES into RGB frames.
+
+    color_range must match the encoder's ("studio" is both defaults —
+    MPEG-1 streams carry no range signaling, like any standard decoder
+    we assume limited range unless told otherwise)."""
     r = BitReader(data)
     frames: list[np.ndarray] = []
     seq: SequenceInfo | None = None
@@ -203,7 +207,9 @@ def decode_es(data: bytes) -> list[np.ndarray]:
         nonlocal cur
         if cur is not None:
             y, cb, cr = cur
-            rgb = ycbcr_to_rgb_f32(y, upsample_420(cb), upsample_420(cr))
+            rgb = ycbcr_to_rgb_f32(
+                y, upsample_420(cb), upsample_420(cr), color_range=color_range
+            )
             frames.append(rgb[: seq.height, : seq.width])
             cur = None
 

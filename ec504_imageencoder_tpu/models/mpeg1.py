@@ -30,7 +30,11 @@ import functools
 import numpy as np
 
 from ec504_imageencoder_tpu.ops.bitpack import pack_bytes
-from ec504_imageencoder_tpu.ops.color import rgb_to_ycbcr, subsample_420
+from ec504_imageencoder_tpu.ops.color import (
+    rgb_to_ycbcr,
+    rgb_to_ycbcr_studio,
+    subsample_420,
+)
 from ec504_imageencoder_tpu.ops.dct import aan_dct, matmul_dct
 from ec504_imageencoder_tpu.ops.quant import exact_div_floor
 from ec504_imageencoder_tpu.ops.vlc_device import block_streams_correct
@@ -74,9 +78,16 @@ def pad_to_macroblocks(frames: np.ndarray) -> np.ndarray:
     return frames
 
 
-def correct_pipeline(rgb, intra_q, qscale, max_slice_bytes, xp=np, dct_impl="aan"):
+def correct_pipeline(
+    rgb, intra_q, qscale, max_slice_bytes, xp=np, dct_impl="aan",
+    color_range="studio",
+):
     """(B, H, W, 3) u8 (H, W multiples of 16) ->
     ((B, mb_h, max_slice_bytes) u8 slice segments, (B, mb_h) i32 bit lens).
+
+    color_range: "studio" (BT.601 16-235/16-240 — what standard MPEG-1
+    decoders assume; validated via a third-party decoder) or "full"
+    (reference JPEG-style semantics, image_processing.c:104-106).
     """
     bsz, h, w = rgb.shape[:3]
     mbh, mbw = h // 16, w // 16
@@ -91,7 +102,8 @@ def correct_pipeline(rgb, intra_q, qscale, max_slice_bytes, xp=np, dct_impl="aan
         scope = jax.named_scope  # stages attributable in xprof traces
 
     with scope("color_subsample"):
-        y, cb, cr = rgb_to_ycbcr(rgb, xp)
+        to_ycbcr = rgb_to_ycbcr_studio if color_range == "studio" else rgb_to_ycbcr
+        y, cb, cr = to_ycbcr(rgb, xp)
         cb = subsample_420(cb, xp)
         cr = subsample_420(cr, xp)
 
@@ -162,13 +174,17 @@ def correct_pipeline(rgb, intra_q, qscale, max_slice_bytes, xp=np, dct_impl="aan
 
 
 @functools.lru_cache(maxsize=16)
-def _jitted_correct_pipeline(qscale: int, max_slice_bytes: int, dct_impl: str = "aan"):
+def _jitted_correct_pipeline(
+    qscale: int, max_slice_bytes: int, dct_impl: str = "aan",
+    color_range: str = "studio",
+):
     import jax
     import jax.numpy as jnp
 
     def fn(rgb, intra_q):
         return correct_pipeline(
-            rgb, intra_q, qscale, max_slice_bytes, xp=jnp, dct_impl=dct_impl
+            rgb, intra_q, qscale, max_slice_bytes, xp=jnp, dct_impl=dct_impl,
+            color_range=color_range,
         )
 
     return jax.jit(fn)
@@ -233,6 +249,7 @@ class MPEG1IntraEncoder:
         max_slice_bytes: int = 16384,
         backend: str = "jax",
         dct_impl: str = "auto",
+        color_range: str = "studio",
     ):
         self.intra_q, self.qscale = quality_to_quant(quality)
         # the integer AAN's +-2 noise caps PSNR ~40 dB; at fine
@@ -240,6 +257,7 @@ class MPEG1IntraEncoder:
         if dct_impl == "auto":
             dct_impl = "f32" if quality >= 70 else "aan"
         self.dct_impl = dct_impl
+        self.color_range = color_range
         self.frame_rate_code = frame_rate_code
         self.fps = FRAME_RATE_VALUES[frame_rate_code]
         self.gop_size = gop_size
@@ -248,7 +266,10 @@ class MPEG1IntraEncoder:
 
     def _run_pipeline(self, padded: np.ndarray):
         if self.backend == "jax":
-            fn = _jitted_correct_pipeline(self.qscale, self.max_slice_bytes, self.dct_impl)
+            fn = _jitted_correct_pipeline(
+                self.qscale, self.max_slice_bytes, self.dct_impl,
+                self.color_range,
+            )
             seg_dev, bits_dev = fn(padded, self.intra_q)
             bits = np.asarray(bits_dev)
             used = (int(bits.max(initial=0)) + 7) // 8
@@ -257,7 +278,7 @@ class MPEG1IntraEncoder:
         else:
             seg, bits = correct_pipeline(
                 padded, self.intra_q, self.qscale, self.max_slice_bytes,
-                xp=np, dct_impl=self.dct_impl,
+                xp=np, dct_impl=self.dct_impl, color_range=self.color_range,
             )
         if int(bits.max(initial=0)) > 8 * self.max_slice_bytes:
             raise OverflowError(

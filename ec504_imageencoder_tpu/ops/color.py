@@ -48,6 +48,28 @@ def rgb_to_ycbcr(rgb, xp=np):
     return u8(y), u8(cb), u8(cr)
 
 
+def rgb_to_ycbcr_studio(rgb, xp=np):
+    """Device colorspace kernel: BT.601 *studio range* (Y 16-235, C 16-240).
+
+    MPEG-1 carries no range signaling and standard decoders (FFmpeg, and
+    the reference's suggested players, README.md:140) assume limited
+    range; the reference encoder's full-range JPEG-style conversion
+    (image_processing.c:104-106) is why its output renders with stretched
+    contrast.  Same 16-bit fixed-point scheme as rgb_to_ycbcr so results
+    are bit-identical across backends.
+    (..., H, W, 3) u8 -> three (..., H, W) u8 planes.
+    """
+    i = rgb.astype(xp.int32)
+    r, g, b = i[..., 0], i[..., 1], i[..., 2]
+    half = 1 << 15
+    # 65536 * 219/255 * (0.299, 0.587, 0.114) and 224/255 * Cb/Cr rows
+    y = ((16830 * r + 33039 * g + 6417 * b + half) >> 16) + 16
+    cb = ((-9715 * r - 19070 * g + 28784 * b + half) >> 16) + 128
+    cr = ((28784 * r - 24103 * g - 4681 * b + half) >> 16) + 128
+    u8 = lambda v: xp.clip(v, 0, 255).astype(xp.uint8)
+    return u8(y), u8(cb), u8(cr)
+
+
 def subsample_420(plane, xp=np):
     """2x2 box average, C integer division (image_processing.c:114-133).
 
@@ -71,13 +93,19 @@ def upsample_420(plane, xp=np):
     return xp.repeat(xp.repeat(plane, 2, axis=-2), 2, axis=-1)
 
 
-def ycbcr_to_rgb_f32(y, cb, cr, xp=np):
+def ycbcr_to_rgb_f32(y, cb, cr, xp=np, color_range: str = "full"):
     """BT.601 inverse for the verification decoder (image_processing.c:678-686
     constants; implemented correctly — the reference's own function reads
-    Y/Cb/Cr all from the same buffer by mistake and is never called)."""
+    Y/Cb/Cr all from the same buffer by mistake and is never called).
+
+    color_range="studio" inverts rgb_to_ycbcr_studio (16-235/16-240)."""
     yf = y.astype(xp.float32)
     cbf = cb.astype(xp.float32) - 128.0
     crf = cr.astype(xp.float32) - 128.0
+    if color_range == "studio":
+        yf = (yf - 16.0) * (255.0 / 219.0)
+        cbf = cbf * (255.0 / 224.0)
+        crf = crf * (255.0 / 224.0)
     r = yf + 1.402 * crf
     g = yf - 0.344136 * cbf - 0.714136 * crf
     b = yf + 1.772 * cbf

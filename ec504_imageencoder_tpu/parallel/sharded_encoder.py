@@ -20,12 +20,18 @@ from ec504_imageencoder_tpu.parallel import mesh as mesh_lib
 
 
 @functools.lru_cache(maxsize=8)
-def _sharded_pipeline(mesh: "jax.sharding.Mesh", qscale: int, max_slice_bytes: int):
+def _sharded_pipeline(
+    mesh: "jax.sharding.Mesh", qscale: int, max_slice_bytes: int,
+    dct_impl: str = "aan", color_range: str = "studio",
+):
     fs = mesh_lib.frame_sharding(mesh)
     rep = mesh_lib.replicated(mesh)
 
     def fn(rgb, intra_q):
-        return correct_pipeline(rgb, intra_q, qscale, max_slice_bytes, xp=jnp)
+        return correct_pipeline(
+            rgb, intra_q, qscale, max_slice_bytes, xp=jnp,
+            dct_impl=dct_impl, color_range=color_range,
+        )
 
     return jax.jit(
         fn,
@@ -65,7 +71,10 @@ class ShardedMPEG1Encoder(MPEG1IntraEncoder):
         pad_b = -batch % n_data  # replicate-pad batch to fill the data axis
         if pad_b:
             padded = np.concatenate([padded, padded[-1:].repeat(pad_b, 0)])
-        fn = _sharded_pipeline(self.mesh, self.qscale, self.max_slice_bytes)
+        fn = _sharded_pipeline(
+            self.mesh, self.qscale, self.max_slice_bytes,
+            self.dct_impl, self.color_range,
+        )
         seg_dev, bits_dev = fn(padded, self.intra_q)
         if pad_b:
             seg_dev, bits_dev = seg_dev[:batch], bits_dev[:batch]
