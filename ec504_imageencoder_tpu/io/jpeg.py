@@ -38,6 +38,17 @@ def _load_native():
         ]
         lib.stbj_decode_file.restype = ctypes.POINTER(ctypes.c_ubyte)
         lib.stbj_free.argtypes = [ctypes.POINTER(ctypes.c_ubyte)]
+        if hasattr(lib, "stbj_decode_batch"):
+            lib.stbj_decode_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_ubyte),
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.c_int,
+            ]
+            lib.stbj_decode_batch.restype = ctypes.c_int
         _native = lib
     return _native
 
@@ -87,17 +98,80 @@ def scan_folder(folder: str) -> list[str]:
     return out
 
 
+def _load_folder_native_batch(
+    paths: list[str], n_threads: int
+) -> tuple[np.ndarray, list[str]] | None:
+    """Threaded native batch decode straight into one contiguous buffer.
+
+    Returns None when the native library (or its batch entry point) is
+    unavailable or the probe file fails; caller falls back to the
+    sequential path.
+    """
+    lib = _load_native()
+    if lib is None or not hasattr(lib, "stbj_decode_batch"):
+        return None
+    # probe (natively, so all frames share one decoder) for expected dims
+    pw, ph, pc = ctypes.c_int(), ctypes.c_int(), ctypes.c_int()
+    ptr = lib.stbj_decode_file(paths[0].encode(), pw, ph, pc)
+    if not ptr:
+        return None
+    lib.stbj_free(ptr)
+    h, w = ph.value, pw.value
+    n = len(paths)
+    out = np.empty((n, h, w, 3), np.uint8)
+    status = (ctypes.c_int * n)()
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.stbj_decode_batch(
+        c_paths, n, w, h,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        status, n_threads,
+    )
+    st = np.ctypeslib.as_array(status)
+    bad_dims = [paths[i] for i in range(n) if st[i] == 2]
+    if bad_dims:
+        raise ValueError(
+            f"image dimensions do not match: {bad_dims[0]}, "
+            f"expected {(h, w, 3)}"
+        )
+    keep = st == 0
+    if keep.all():  # common case: no compaction copy
+        return out, list(paths)
+    for i in np.nonzero(~keep)[0]:
+        warnings.warn(f"skipping {paths[i]}: decode failed", stacklevel=3)
+    if not keep.any():
+        raise ValueError("no decodable images found")
+    return np.ascontiguousarray(out[keep]), [
+        p for i, p in enumerate(paths) if keep[i]
+    ]
+
+
 def load_folder(
-    folder: str, require_exact: bool = False
+    folder: str, require_exact: bool = False, n_threads: int = 0
 ) -> tuple[np.ndarray, list[str]]:
     """Decode all JPEGs in a folder -> ((B, H, W, 3) u8, kept paths).
 
     Files that fail to decode are skipped (reference encoder.h:163-167);
     mismatched dimensions raise (image_processing.c:48-66 aborts).
+    Uses the native threaded batch decoder when available (n_threads=0
+    means one per hardware core); falls back to sequential decode.
     """
+    paths = scan_folder(folder)
+    if not paths:
+        raise ValueError(f"no decodable images found in {folder}")
+    if len(paths) > 1:
+        try:
+            batched = _load_folder_native_batch(paths, n_threads)
+        except ValueError:
+            raise
+        except Exception as e:
+            warnings.warn(f"native batch decode failed ({e}); "
+                          "falling back to sequential", stacklevel=2)
+            batched = None
+        if batched is not None:
+            return batched
     frames = []
     names = []
-    for path in scan_folder(folder):
+    for path in paths:
         try:
             frames.append(decode_jpeg(path, require_exact))
             names.append(path)

@@ -22,10 +22,12 @@
 //
 // Build: see Makefile in this directory (produces libstbjpeg.so).
 
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -818,4 +820,61 @@ unsigned char *stbj_decode_file(const char *path, int *w, int *h, int *comp) {
 }
 
 void stbj_free(unsigned char *p) { std::free(p); }
+
+// Threaded batch decode: the host-side intake for batched device encodes.
+// Decodes `n` files into the caller's contiguous (n, expect_h, expect_w, 3)
+// u8 RGB buffer using a worker pool (ctypes releases the GIL, so Python
+// callers get real parallelism).  Per-file status: 0 ok, 1 decode failure
+// (reference skip-on-bad semantics, encoder.h:163-167), 2 dimension
+// mismatch (reference aborts, image_processing.c:48-66).  Returns the
+// number of status-0 files.
+int stbj_decode_batch(const char **paths, int n, int expect_w, int expect_h,
+                      unsigned char *out, int *status, int n_threads) {
+  if (n <= 0) return 0;
+  if (n_threads <= 0) {
+    n_threads = int(std::thread::hardware_concurrency());
+    if (n_threads <= 0) n_threads = 4;
+  }
+  if (n_threads > n) n_threads = n;
+  const size_t frame_px = size_t(expect_w) * size_t(expect_h);
+  std::atomic<int> next(0), ok(0);
+
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      int w = 0, h = 0, c = 0;
+      unsigned char *pix = stbj_decode_file(paths[i], &w, &h, &c);
+      if (!pix) {
+        status[i] = 1;
+        continue;
+      }
+      if (w != expect_w || h != expect_h) {
+        status[i] = 2;
+        std::free(pix);
+        continue;
+      }
+      unsigned char *dst = out + size_t(i) * frame_px * 3;
+      if (c == 3) {
+        std::memcpy(dst, pix, frame_px * 3);
+      } else if (c > 3) {  // drop alpha
+        for (size_t p = 0; p < frame_px; ++p)
+          std::memcpy(dst + p * 3, pix + p * size_t(c), 3);
+      } else {  // grayscale -> RGB replicate
+        for (size_t p = 0; p < frame_px; ++p) {
+          unsigned char v = pix[p * size_t(c)];
+          dst[p * 3] = dst[p * 3 + 1] = dst[p * 3 + 2] = v;
+        }
+      }
+      std::free(pix);
+      status[i] = 0;
+      ok.fetch_add(1);
+    }
+  };
+  std::vector<std::thread> pool;
+  pool.reserve(size_t(n_threads));
+  for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+  for (auto &th : pool) th.join();
+  return ok.load();
+}
 }

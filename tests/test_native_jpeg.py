@@ -68,3 +68,40 @@ def test_end_to_end_compat_from_jpeg_files(fixture_jpegs, frame_order, golden_mp
     )
     mine, _ = encode_compat(frames, 12, backend="numpy")
     assert mine == golden_mpeg
+
+
+def test_batch_decode_matches_sequential(fixture_jpegs):
+    """Threaded native batch intake is pixel-identical to per-file decode
+    and preserves scan order."""
+    paths = jpeg_io.scan_folder(str(fixture_jpegs))
+    assert len(paths) >= 3
+    seq = np.stack([jpeg_io.decode_jpeg(p) for p in paths])
+    bat, names = jpeg_io.load_folder(str(fixture_jpegs))
+    np.testing.assert_array_equal(seq, bat)
+    assert names == paths
+
+
+def test_batch_decode_skips_bad_files(fixture_jpegs, tmp_path):
+    """Corrupt files are skipped with a warning (reference encoder.h:163-167)."""
+    import shutil
+
+    for k in "012":
+        shutil.copy(fixture_jpegs / f"{k}.jpg", tmp_path / f"{k}.jpg")
+    (tmp_path / "zz_broken.jpg").write_bytes(b"\xff\xd8\xff\xe0 not a jpeg")
+    with pytest.warns(UserWarning, match="skipping"):
+        frames, names = jpeg_io.load_folder(str(tmp_path))
+    assert len(frames) == 3
+    assert not any("zz_broken" in n for n in names)
+
+
+def test_batch_decode_rejects_dim_mismatch(fixture_jpegs, tmp_path):
+    """Mismatched dimensions abort (reference image_processing.c:48-66)."""
+    import shutil
+
+    from PIL import Image
+
+    for k in "01":
+        shutil.copy(fixture_jpegs / f"{k}.jpg", tmp_path / f"{k}.jpg")
+    Image.new("RGB", (64, 48)).save(tmp_path / "small.jpg")
+    with pytest.raises(ValueError, match="dimensions"):
+        jpeg_io.load_folder(str(tmp_path))
