@@ -111,8 +111,8 @@ def measure_tpu_1080p() -> dict:
     frames_dev = gen()
     intra_dev = jax.device_put(intra_q)
     _ = np.asarray(frames_dev[0, 0, 0]), np.asarray(intra_dev[0, 0])
-    t_upload = time.perf_counter() - t0
-    _log(f"device input ready in {t_upload:.1f}s; compiling pipeline")
+    t_input = time.perf_counter() - t0
+    _log(f"device input ready in {t_input:.1f}s; compiling pipeline")
 
     t0 = time.perf_counter()
     out = fn(frames_dev, intra_dev)
@@ -145,7 +145,10 @@ def measure_tpu_1080p() -> dict:
         "fps": BATCH / step,
         "step_s": step,
         "sync_rtt_s": rtt,
-        "upload_s": t_upload,
+        # time to jitted on-device RNG frame generation (not an upload --
+        # the metric excludes host->device transfer by design, see module
+        # docstring)
+        "input_ready_s": t_input,
         "compile_s": t_compile,
         "stream_bytes_per_frame": total_bytes // BATCH,
     }

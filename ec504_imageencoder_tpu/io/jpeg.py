@@ -110,23 +110,30 @@ def _load_folder_native_batch(
     lib = _load_native()
     if lib is None or not hasattr(lib, "stbj_decode_batch"):
         return None
-    # probe (natively, so all frames share one decoder) for expected dims
+    # probe (natively, so all frames share one decoder) for expected dims;
+    # the probe's pixels are kept as frame 0 so it is not decoded twice
     pw, ph, pc = ctypes.c_int(), ctypes.c_int(), ctypes.c_int()
     ptr = lib.stbj_decode_file(paths[0].encode(), pw, ph, pc)
     if not ptr:
         return None
-    lib.stbj_free(ptr)
-    h, w = ph.value, pw.value
+    h, w, c = ph.value, pw.value, pc.value
     n = len(paths)
     out = np.empty((n, h, w, 3), np.uint8)
-    status = (ctypes.c_int * n)()
-    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
-    lib.stbj_decode_batch(
-        c_paths, n, w, h,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
-        status, n_threads,
-    )
-    st = np.ctypeslib.as_array(status)
+    try:
+        probe = np.ctypeslib.as_array(ptr, shape=(h, w, c))
+        out[0] = probe[..., :3] if c >= 3 else probe[..., :1]
+    finally:
+        lib.stbj_free(ptr)
+    st = np.zeros(n, np.int32)
+    if n > 1:
+        rest = paths[1:]
+        c_paths = (ctypes.c_char_p * (n - 1))(*[p.encode() for p in rest])
+        lib.stbj_decode_batch(
+            c_paths, n - 1, w, h,
+            out[1:].ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            st[1:].ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            n_threads,
+        )
     bad_dims = [paths[i] for i in range(n) if st[i] == 2]
     if bad_dims:
         raise ValueError(

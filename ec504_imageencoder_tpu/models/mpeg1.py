@@ -89,6 +89,10 @@ def correct_pipeline(
     decoders assume; validated via a third-party decoder) or "full"
     (reference JPEG-style semantics, image_processing.c:104-106).
     """
+    if color_range not in ("studio", "full"):
+        raise ValueError(
+            f"color_range must be 'studio' or 'full', got {color_range!r}"
+        )
     bsz, h, w = rgb.shape[:3]
     mbh, mbw = h // 16, w // 16
 
@@ -251,6 +255,10 @@ class MPEG1IntraEncoder:
         dct_impl: str = "auto",
         color_range: str = "studio",
     ):
+        if color_range not in ("studio", "full"):
+            raise ValueError(
+                f"color_range must be 'studio' or 'full', got {color_range!r}"
+            )
         self.intra_q, self.qscale = quality_to_quant(quality)
         # the integer AAN's +-2 noise caps PSNR ~40 dB; at fine
         # quantization switch to the f32 MXU-matmul DCT automatically

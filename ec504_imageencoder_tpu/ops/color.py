@@ -99,6 +99,10 @@ def ycbcr_to_rgb_f32(y, cb, cr, xp=np, color_range: str = "full"):
     Y/Cb/Cr all from the same buffer by mistake and is never called).
 
     color_range="studio" inverts rgb_to_ycbcr_studio (16-235/16-240)."""
+    if color_range not in ("studio", "full"):
+        raise ValueError(
+            f"color_range must be 'studio' or 'full', got {color_range!r}"
+        )
     yf = y.astype(xp.float32)
     cbf = cb.astype(xp.float32) - 128.0
     crf = cr.astype(xp.float32) - 128.0

@@ -110,3 +110,21 @@ def test_high_quality_roundtrip_regression(crop):
     for q in (75, 95):
         es, dec = _roundtrip(crop[:1], q)
         assert psnr(crop[0], dec[0]) > 35.0
+
+
+def test_color_range_validated():
+    """Library API rejects invalid color_range instead of silently picking
+    full-range (ADVICE r1: 'limited' typo selected full-range conversion)."""
+    from ec504_imageencoder_tpu.models.mpeg1 import correct_pipeline
+    from ec504_imageencoder_tpu.ops.color import ycbcr_to_rgb_f32
+
+    with pytest.raises(ValueError, match="color_range"):
+        MPEG1IntraEncoder(color_range="limited")
+    with pytest.raises(ValueError, match="color_range"):
+        correct_pipeline(
+            np.zeros((1, 16, 16, 3), np.uint8), np.ones((8, 8), np.int32),
+            8, 256, color_range="limited",
+        )
+    p = np.zeros((8, 8), np.uint8)
+    with pytest.raises(ValueError, match="color_range"):
+        ycbcr_to_rgb_f32(p, p, p, color_range="limited")
