@@ -54,3 +54,54 @@ def test_capi_shim_builds_and_links():
     fn.restype = ctypes.c_int
     # null args -> error return, no crash
     assert fn(None, b"x", b"y", 12) == 1
+
+
+def test_jni_binding_marshalls_strings(tmp_path, monkeypatch):
+    """Java_com_example_Encoder_mpegEncodeProcedure (reference
+    encoder_jni.c:5-22) marshalls jstrings through a spec-layout JNIEnv
+    function table and delegates to mpeg_encode_procedure."""
+    subprocess.run(["make", "-s"], cwd=NATIVE, check=True)
+    lib = ctypes.CDLL(str(NATIVE / "libencoder_jni.so"))
+    fn = lib.Java_com_example_Encoder_mpegEncodeProcedure
+
+    GETCHARS = ctypes.CFUNCTYPE(
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p
+    )
+    RELCHARS = ctypes.CFUNCTYPE(
+        None, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_char_p
+    )
+
+    strings = {}   # fake jstring handle -> bytes
+    released = []
+
+    def get_chars(env, jstr, is_copy):
+        return strings[jstr]
+
+    def rel_chars(env, jstr, chars):
+        released.append(jstr)
+
+    get_cb = GETCHARS(get_chars)
+    rel_cb = RELCHARS(rel_chars)
+
+    # JNI interface table: 4 reserved + functions from index 4;
+    # GetStringUTFChars at 169, ReleaseStringUTFChars at 170.
+    table = (ctypes.c_void_p * 171)()
+    table[169] = ctypes.cast(get_cb, ctypes.c_void_p)
+    table[170] = ctypes.cast(rel_cb, ctypes.c_void_p)
+    table_ptr = ctypes.cast(table, ctypes.c_void_p)
+    env = ctypes.pointer(table_ptr)  # JNIEnv* = ptr to ptr to table
+
+    imgs, bits, video = 101, 102, 103
+    strings[imgs] = str(tmp_path / "imgs").encode()
+    strings[bits] = str(tmp_path / "bits").encode()
+    strings[video] = str(tmp_path / "out.mpeg").encode()
+
+    # exercise marshalling without a full encode: the capi shim shells
+    # out to $EC504_PYTHON, which /bin/true satisfies with rc 0
+    monkeypatch.setenv("EC504_PYTHON", "/bin/true")
+    fn.restype = ctypes.c_int
+    rc = fn(env, None,
+            ctypes.c_void_p(imgs), ctypes.c_void_p(bits), ctypes.c_void_p(video),
+            ctypes.c_int(12))
+    assert rc == 0
+    assert sorted(released) == [imgs, bits, video]
