@@ -111,6 +111,12 @@ def main(argv=None) -> int:
             enc = ShardedMPEG1Encoder(mesh=mesh_lib.make_mesh(nd, nr), **kw)
         else:
             enc = MPEG1IntraEncoder(**kw)
+        if args.metrics:
+            enc.metrics = metrics
+            if args.backend == "jax":
+                import jax
+
+                metrics.set("n_devices", len(jax.devices()))
         if args.workdir:
             from ec504_imageencoder_tpu.runtime.checkpoint import encode_resumable
 

@@ -271,6 +271,7 @@ class MPEG1IntraEncoder:
         self.gop_size = gop_size
         self.max_slice_bytes = max_slice_bytes
         self.backend = backend
+        self.metrics = None  # optional EncodeMetrics sink (CLI --metrics)
 
     def _run_pipeline(self, padded: np.ndarray):
         if self.backend == "jax":
@@ -309,6 +310,11 @@ class MPEG1IntraEncoder:
         disp_h, disp_w = frames.shape[1:3]
         padded = pad_to_macroblocks(frames)
         seg, bits = self._run_pipeline(padded)
+        if self.metrics is not None:
+            mbw = padded.shape[2] // 16
+            self.metrics.histogram("slice_bits", bits)
+            # slice == one MB row, so bits/MB is the row total split evenly
+            self.metrics.histogram("bits_per_macroblock", bits / mbw)
 
         out = bytearray()
         for i in range(frames.shape[0]):

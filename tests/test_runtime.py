@@ -135,3 +135,40 @@ def test_multiprocess_two_hosts(tmp_path):
     want = enc.encode(frames) + headers.sequence_end()
     got = open(out, "rb").read()
     assert got == want
+
+
+def test_metrics_histograms_and_derived():
+    """EncodeMetrics: timers, histograms, derived frames/s/chip and
+    speedup (SURVEY.md §5 metrics row)."""
+    import numpy as np
+
+    from ec504_imageencoder_tpu.models.mpeg1 import MPEG1IntraEncoder
+    from ec504_imageencoder_tpu.utils.metrics import EncodeMetrics
+
+    m = EncodeMetrics()
+    with m.timer("stage_s"):
+        pass
+    assert m.get("stage_s") >= 0.0
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, (2, 64, 80, 3), dtype=np.uint8)
+    enc = MPEG1IntraEncoder(quality=40, backend="numpy")
+    enc.metrics = m
+    enc.encode(frames)
+    h = m.get("bits_per_macroblock")
+    assert h and h["count"] == 2 * 4  # 2 frames x 4 MB rows
+    assert h["min"] > 0 and sum(h["bin_counts"]) == h["count"]
+
+    m.set("frames", 10)
+    m.set("encode_s", 2.0)
+    m.set("n_devices", 4)
+    m.set("baseline_fps", 0.5)
+    d = m.derived()
+    assert d["encode_fps"] == 5.0
+    assert d["encode_fps_per_chip"] == 1.25
+    assert d["speedup_vs_baseline"] == 10.0
+
+    m2 = EncodeMetrics()
+    m2.set("encode_s", 3.0)
+    m.merge(m2)
+    assert m.get("encode_s") == 5.0
