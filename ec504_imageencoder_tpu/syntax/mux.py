@@ -15,6 +15,7 @@ from __future__ import annotations
 from ec504_imageencoder_tpu.syntax import headers
 
 MAX_PES_PAYLOAD = 0xFFF0
+ISO11172_END = b"\x00\x00\x01\xb9"  # program end code (ISO 11172-1 §2.4.3.2)
 
 
 def _pts_bytes(pts90: int, first: bool) -> bytes:
@@ -64,6 +65,7 @@ def mux_program_stream(
         for start in range(0, len(payload), MAX_PES_PAYLOAD):
             chunk = payload[start : start + MAX_PES_PAYLOAD]
             out += pes_packet(chunk, pts if start == 0 else None)
+    out += ISO11172_END
     return bytes(out)
 
 

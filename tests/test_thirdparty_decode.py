@@ -99,3 +99,24 @@ def test_quality_ladder_monotonic_bytes(tmp_path):
         psnrs.append(psnr(frames[0], _decode_cv2(path)[0]))
     assert sizes[0] < sizes[-1]
     assert psnrs[0] <= psnrs[-1] + 0.5  # allow decoder noise
+
+
+def test_ffmpeg_decodes_program_stream(tmp_path):
+    """The PS container (pack/system/PES mux) demuxes and decodes through
+    cv2/FFmpeg — independent validation of the system layer, not just the
+    video ES."""
+    from ec504_imageencoder_tpu.syntax import mux
+
+    frames = _smooth_frames(n=3)
+    enc = MPEG1IntraEncoder(quality=80, backend="numpy", gop_size=2)
+    es = enc.encode(frames)
+    ps = mux.mux_program_stream(mux.split_es_pictures(es), fps=enc.fps)
+    assert ps.endswith(mux.ISO11172_END)
+    path = str(tmp_path / "out.mpg")
+    with open(path, "wb") as f:
+        f.write(ps)
+    dec = _decode_cv2(path)
+    assert len(dec) == len(frames)
+    for i in range(len(frames)):
+        p = psnr(frames[i], dec[i])
+        assert p > 33.0, f"frame {i}: PS decode PSNR {p:.1f} dB"
