@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--container", choices=["es", "ps"], default="es",
                    help="correct mode: elementary stream or MPEG-1 program "
                         "stream (pack/PES mux, like the reference's container)")
+    p.add_argument("--stream", action="store_true",
+                   help="correct mode: bounded-memory intake — decode "
+                        "JPEG batches on demand (with lookahead prefetch) "
+                        "instead of loading the whole folder upfront")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace into DIR")
     p.add_argument("--metrics", action="store_true",
@@ -69,11 +73,21 @@ def main(argv=None) -> int:
     quality = args.quality
     metrics = EncodeMetrics()
 
+    use_stream = args.stream and args.mode == "correct"
     t0 = time.perf_counter()
-    frames, names = load_folder(args.images, require_exact=False)
+    if use_stream:
+        from ec504_imageencoder_tpu.io.stream import FolderFrameSource
+
+        source = FolderFrameSource(args.images)
+        n_frames, res_w, res_h = len(source), source.width, source.height
+        frames = None
+    else:
+        frames, names = load_folder(args.images, require_exact=False)
+        n_frames, res_h, res_w = len(frames), frames.shape[1], frames.shape[2]
+        source = lambda s, e: frames[s:e]
     metrics.add("decode_s", time.perf_counter() - t0)
-    metrics.set("frames", len(frames))
-    metrics.set("resolution", f"{frames.shape[2]}x{frames.shape[1]}")
+    metrics.set("frames", n_frames)
+    metrics.set("resolution", f"{res_w}x{res_h}")
 
     profile_ctx = None
     if args.profile:
@@ -121,13 +135,19 @@ def main(argv=None) -> int:
             from ec504_imageencoder_tpu.runtime.checkpoint import encode_resumable
 
             encode_resumable(
-                lambda s, e: frames[s:e], len(frames), args.workdir,
+                source, n_frames, args.workdir,
                 args.output, encoder=enc, metrics=metrics,
             )
             data = open(args.output, "rb").read()
+        elif use_stream:
+            # bounded-memory path: decode batch N+1 while encoding batch N
+            chunks = []
+            for start, batch in source.batches(args.batch):
+                chunks.append(enc.encode(batch, first_frame_index=start))
+            data = b"".join(chunks) + headers.sequence_end()
         else:
             chunks = []
-            for start in range(0, len(frames), args.batch):
+            for start in range(0, n_frames, args.batch):
                 chunks.append(
                     enc.encode(frames[start : start + args.batch], first_frame_index=start)
                 )
@@ -141,14 +161,17 @@ def main(argv=None) -> int:
         if args.bitstream_dir:
             from ec504_imageencoder_tpu.ops.color import rgb_to_ycbcr_exact
 
-            y, cb, cr = rgb_to_ycbcr_exact(frames)
-            dumps = [
-                headers.raw_plane_dump(
-                    frames.shape[2], frames.shape[1],
-                    y[i].reshape(-1), cb[i].reshape(-1), cr[i].reshape(-1),
-                )
-                for i in range(len(frames))
-            ]
+            dumps = []
+            for start in range(0, n_frames, args.batch):
+                chunk = source(start, min(start + args.batch, n_frames))
+                y, cb, cr = rgb_to_ycbcr_exact(chunk)
+                dumps += [
+                    headers.raw_plane_dump(
+                        res_w, res_h,
+                        y[i].reshape(-1), cb[i].reshape(-1), cr[i].reshape(-1),
+                    )
+                    for i in range(len(chunk))
+                ]
     metrics.add("encode_s", time.perf_counter() - t0)
 
     if profile_ctx:
@@ -166,7 +189,7 @@ def main(argv=None) -> int:
             with open(os.path.join(args.bitstream_dir, f"image_{i + 1}.bit"), "wb") as f:
                 f.write(d)
 
-    print(f"wrote {args.output}: {len(data)} bytes, {len(frames)} frames")
+    print(f"wrote {args.output}: {len(data)} bytes, {n_frames} frames")
     if args.metrics:
         print(metrics.report(), file=sys.stderr)
     return 0
