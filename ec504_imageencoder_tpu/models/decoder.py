@@ -284,3 +284,13 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0:
         return float("inf")
     return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+def decode_stream(data: bytes, color_range: str = "studio") -> list[np.ndarray]:
+    """Decode either container: auto-demux a program stream (pack start
+    code 0x000001BA first) or decode a raw video ES."""
+    if data[:4] == b"\x00\x00\x01\xba":
+        from ec504_imageencoder_tpu.syntax.mux import demux_program_stream
+
+        data = demux_program_stream(data)
+    return decode_es(data, color_range=color_range)

@@ -44,3 +44,14 @@ def test_mv_codes_match_reference_table():
     assert mv_code(-16) == (0b00000011001, 11)
     with pytest.raises(ValueError):
         mv_code(17)
+
+
+def test_decode_stream_handles_both_containers(es_and_frames):
+    from ec504_imageencoder_tpu.models.decoder import decode_stream
+
+    es, frames = es_and_frames
+    ps = mux.mux_program_stream(mux.split_es_pictures(es[:-4]), fps=25.0)
+    for blob in (es, ps):
+        dec = decode_stream(blob)
+        assert len(dec) == len(frames)
+        assert psnr(frames[0], dec[0]) > 35

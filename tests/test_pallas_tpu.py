@@ -23,12 +23,16 @@ import jax.numpy as jnp
 from ec504_imageencoder_tpu.ops.bitpack import pack_words, pack_words_mxu
 from ec504_imageencoder_tpu.ops.pallas_pack import (
     pack_words_fused,
+    pack_words_fused2w,
+    pack_words_fused4,
     pack_words_pallas,
     pack_words_pallas3,
 )
 
 IMPLS = {
     "fused": lambda c, l, w: pack_words_fused(c, l, w),
+    "fused2w": lambda c, l, w: pack_words_fused2w(c, l, w),
+    "fused4": lambda c, l, w: pack_words_fused4(c, l, w),
     "pallas3": lambda c, l, w: pack_words_pallas3(c, l, w),
     "pallas1": lambda c, l, w: pack_words_pallas(c, l, w),
     "mxu": lambda c, l, w: pack_words_mxu(c, l, w),
