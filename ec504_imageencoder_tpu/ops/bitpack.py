@@ -176,10 +176,11 @@ def pack_bytes(codes, lens, max_bytes: int, xp=np):
 def pack_bytes_device(codes, lens, max_bytes: int, xp=np):
     """Backend-dispatching pack.
 
-    On TPU the default is the fully fused superchunk Pallas kernel
-    (pack_words_fused, 12.7 ms at the 12.8M-code 1080p batch, vs 19 ms
-    two-level pallas3 and 48 ms global MXU one-hot);
-    EC504_PACK=pallas3|pallas1|mxu selects the older formulations.
+    On TPU the default is the 4:1 slot-fused superchunk Pallas kernel
+    (pack_words_fused4, 5.7 ms at the 12.8M-code 1080p batch vs 7.4 ms
+    plain fused, 19 ms two-level pallas3 and 48 ms global MXU one-hot —
+    re-measured on TPU v5e 2026-08);
+    EC504_PACK=fused|fused2w|pallas3|pallas1|mxu selects the others.
     Elsewhere (CPU mesh tests) the generic sorted-scatter path runs.
     Dispatch is by LOWERING platform (lax.platform_dependent), not
     jax.default_backend(): a jit over a CPU device mesh in a process
@@ -194,7 +195,7 @@ def pack_bytes_device(codes, lens, max_bytes: int, xp=np):
     import jax
     import jax.numpy as jnp
 
-    impl = os.environ.get("EC504_PACK", "fused")
+    impl = os.environ.get("EC504_PACK", "fused4")
     max_words = max_bytes // 4
 
     def tpu_pack(codes, lens):
@@ -210,6 +211,14 @@ def pack_bytes_device(codes, lens, max_bytes: int, xp=np):
             from ec504_imageencoder_tpu.ops.pallas_pack import pack_words_fused
 
             words, nbits = pack_words_fused(codes, lens, max_words)
+        elif impl == "fused2w" and max_words % 128 == 0 and max_words >= 1152:
+            from ec504_imageencoder_tpu.ops.pallas_pack import pack_words_fused2w
+
+            words, nbits = pack_words_fused2w(codes, lens, max_words)
+        elif impl == "fused4" and max_words % 128 == 0 and max_words >= 640:
+            from ec504_imageencoder_tpu.ops.pallas_pack import pack_words_fused4
+
+            words, nbits = pack_words_fused4(codes, lens, max_words)
         else:
             words, nbits = pack_words_mxu(codes, lens, max_words)
         return words_to_bytes(words, xp=jnp), nbits
