@@ -29,7 +29,6 @@ import functools
 
 import numpy as np
 
-from ec504_imageencoder_tpu.ops.bitpack import pack_bytes
 from ec504_imageencoder_tpu.ops.color import (
     rgb_to_ycbcr,
     rgb_to_ycbcr_studio,
@@ -37,7 +36,7 @@ from ec504_imageencoder_tpu.ops.color import (
 )
 from ec504_imageencoder_tpu.ops.dct import aan_dct, matmul_dct
 from ec504_imageencoder_tpu.ops.quant import exact_div_floor
-from ec504_imageencoder_tpu.ops.vlc_device import block_streams_correct
+from ec504_imageencoder_tpu.ops.vlc_device import block_streams_correct64
 from ec504_imageencoder_tpu.ops.zigzag import zigzag_scan
 from ec504_imageencoder_tpu.syntax import headers
 from ec504_imageencoder_tpu.syntax.bitwriter import BitWriter
@@ -136,8 +135,11 @@ def correct_pipeline(
         num = 16 * xp.abs(f) + qw
         mag = exact_div_floor(num, 2 * qw, xp) if xp is not np else (num // (2 * qw))
         lvl = xp.sign(f) * xp.clip(mag, 0, 255)
-        zz = zigzag_scan(lvl, xp)
-        zz = xp.concatenate([dc[..., None], zz[..., 1:]], axis=-1)
+        zzq = zigzag_scan(lvl, xp)
+        # lane-aligned DC substitution (a concatenate would force a 1+63
+        # relayout copy of the whole coefficient tensor)
+        lane = xp.arange(64, dtype=xp.int32)
+        zz = xp.where(lane == 0, dc[..., None], zzq)
 
     with scope("vlc"):
         # DC predictors: shifted previous same-component DC, 128 at slice start
@@ -149,32 +151,44 @@ def correct_pipeline(
         cr_pred = xp.concatenate([p128, dc[..., :-1, 5]], axis=-1)[..., None]
         pred = xp.concatenate([luma_pred, cb_pred, cr_pred], axis=-1)
 
-        is_luma = xp.broadcast_to(
-            xp.asarray(np.array([1, 1, 1, 1, 0, 0], np.int32)), zz.shape[:-1]
+        comp = xp.asarray(np.array([1, 1, 1, 1, 0, 0], np.int32))
+        is_luma = xp.broadcast_to(comp, zz.shape[:-1])
+        # 2-bit MB header '11' folds into the first block's DC slot
+        mb_first = xp.broadcast_to(
+            xp.asarray(np.array([1, 0, 0, 0, 0, 0], np.int32)), zz.shape[:-1]
         )
-        codes, lens = block_streams_correct(zz, pred, is_luma, xp)
+        codes, lens = block_streams_correct64(zz, pred, is_luma, xp,
+                                              mb_first=mb_first)
 
     with scope("bitpack"):
-        mb_code = xp.full((bsz, mbh, mbw, 1), 0b11, dtype=xp.uint32)
-        mb_len = xp.full((bsz, mbh, mbw, 1), 2, dtype=xp.int32)
-        per_mb_c = xp.concatenate([mb_code, codes.reshape(bsz, mbh, mbw, -1)], axis=-1)
-        per_mb_l = xp.concatenate([mb_len, lens.reshape(bsz, mbh, mbw, -1)], axis=-1)
-
-        vpos = xp.arange(1, mbh + 1, dtype=xp.uint32)
-        hdr_a = xp.broadcast_to((xp.uint32(0x100) | vpos)[None, :, None], (bsz, mbh, 1))
-        hdr_a_len = xp.full((bsz, mbh, 1), 32, dtype=xp.int32)
-        hdr_b = xp.full((bsz, mbh, 1), (qscale & 0x1F) << 1, dtype=xp.uint32)
-        hdr_b_len = xp.full((bsz, mbh, 1), 6, dtype=xp.int32)
-
-        slice_codes = xp.concatenate(
-            [hdr_a, hdr_b, per_mb_c.reshape(bsz, mbh, -1)], axis=-1
-        )
-        slice_lens = xp.concatenate(
-            [hdr_a_len, hdr_b_len, per_mb_l.reshape(bsz, mbh, -1)], axis=-1
-        )
+        # 64 slots per block, EOB and MB codes folded in -> the slot stream
+        # is a pure contiguous reshape; the 38-bit slice header (start code
+        # + vpos + qscale) rides as a pack offset and is ORed into the
+        # first 5 bytes below.  No concatenates anywhere.
+        slice_codes = codes.reshape(bsz, mbh, mbw * 6 * 64)
+        slice_lens = lens.reshape(bsz, mbh, mbw * 6 * 64)
         from ec504_imageencoder_tpu.ops.bitpack import pack_bytes_device
 
-        return pack_bytes_device(slice_codes, slice_lens, max_slice_bytes, xp=xp)
+        seg, nbits = pack_bytes_device(
+            slice_codes, slice_lens, max_slice_bytes, xp=xp, bit_offset=38
+        )
+        vpos = xp.arange(1, mbh + 1, dtype=xp.uint8)
+        hdr = xp.stack(
+            [
+                xp.zeros((mbh,), xp.uint8),
+                xp.zeros((mbh,), xp.uint8),
+                xp.ones((mbh,), xp.uint8),
+                vpos,
+                xp.full((mbh,), (qscale & 0x1F) << 3, xp.uint8),
+            ],
+            axis=-1,
+        )  # (mbh, 5): 00 00 01 vpos [qscale<<1,'0' extra bit]<<2
+        hdr = xp.broadcast_to(hdr[None], (bsz, mbh, 5))
+        if xp is np:
+            seg[..., :5] |= hdr
+        else:
+            seg = seg.at[..., :5].set(seg[..., :5] | hdr)
+        return seg, nbits
 
 
 @functools.lru_cache(maxsize=16)

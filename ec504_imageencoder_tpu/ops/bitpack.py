@@ -18,17 +18,19 @@ from __future__ import annotations
 import numpy as np
 
 
-def pack_words(codes, lens, max_words: int, xp=np):
+def pack_words(codes, lens, max_words: int, xp=np, bit_offset: int = 0):
     """Pack (..., K) uint32 codes of given bit lens into (..., W) uint32 words.
 
     Returns (words, nbits) where nbits (...,) is the total packed bit count
     (unpadded); bits beyond nbits are zero.  Codes must be <= 32 bits and
     masked to their length (zero-length slots may carry any value; they are
-    zeroed here).
+    zeroed here).  `bit_offset` starts the stream that many bits into the
+    buffer (bits below it stay zero, nbits includes it) — used to leave
+    room for a fixed-size header the host ORs in afterwards.
     """
     codes = xp.where(lens > 0, codes.astype(xp.uint32), xp.uint32(0))
     lens = lens.astype(xp.int32)
-    ends = xp.cumsum(lens, axis=-1)
+    ends = xp.cumsum(lens, axis=-1) + bit_offset
     off = ends - lens  # exclusive prefix sum: bit offset of each code
     nbits = ends[..., -1]
 
@@ -77,7 +79,8 @@ def pack_words(codes, lens, max_words: int, xp=np):
     return out.reshape(codes.shape[:-1] + (max_words,)), nbits
 
 
-def pack_words_mxu(codes, lens, max_words: int, chunk: int | None = None):
+def pack_words_mxu(codes, lens, max_words: int, chunk: int | None = None,
+                   bit_offset: int = 0):
     """TPU pack via chunked one-hot matmuls (no scatter, no gather).
 
     Same contract as pack_words.  For each K-chunk, contributions become a
@@ -93,7 +96,7 @@ def pack_words_mxu(codes, lens, max_words: int, chunk: int | None = None):
     xp = jnp
     codes = xp.where(lens > 0, codes.astype(xp.uint32), xp.uint32(0))
     lens = lens.astype(xp.int32)
-    ends = xp.cumsum(lens, axis=-1)
+    ends = xp.cumsum(lens, axis=-1) + bit_offset
     off = ends - lens
     nbits = ends[..., -1]
     word = (off >> 5).astype(xp.int32)
@@ -166,14 +169,15 @@ def words_to_bytes(words, xp=np):
     return b.reshape(words.shape[:-1] + (words.shape[-1] * 4,))
 
 
-def pack_bytes(codes, lens, max_bytes: int, xp=np):
+def pack_bytes(codes, lens, max_bytes: int, xp=np, bit_offset: int = 0):
     """Convenience: pack straight to (..., max_bytes) uint8 + bit lengths."""
     assert max_bytes % 4 == 0
-    words, nbits = pack_words(codes, lens, max_bytes // 4, xp=xp)
+    words, nbits = pack_words(codes, lens, max_bytes // 4, xp=xp,
+                              bit_offset=bit_offset)
     return words_to_bytes(words, xp=xp), nbits
 
 
-def pack_bytes_device(codes, lens, max_bytes: int, xp=np):
+def pack_bytes_device(codes, lens, max_bytes: int, xp=np, bit_offset: int = 0):
     """Backend-dispatching pack.
 
     On TPU the default is the 4:1 slot-fused superchunk Pallas kernel
@@ -188,7 +192,7 @@ def pack_bytes_device(codes, lens, max_bytes: int, xp=np):
     kernels."""
     assert max_bytes % 4 == 0
     if xp is np:
-        return pack_bytes(codes, lens, max_bytes, xp=xp)
+        return pack_bytes(codes, lens, max_bytes, xp=xp, bit_offset=bit_offset)
 
     import os
 
@@ -202,29 +206,35 @@ def pack_bytes_device(codes, lens, max_bytes: int, xp=np):
         if impl == "pallas1":
             from ec504_imageencoder_tpu.ops.pallas_pack import pack_words_pallas
 
-            words, nbits = pack_words_pallas(codes, lens, max_words)
+            words, nbits = pack_words_pallas(codes, lens, max_words,
+                                             bit_offset=bit_offset)
         elif impl == "pallas3" and max_words % 128 == 0 and max_words >= 384:
             from ec504_imageencoder_tpu.ops.pallas_pack import pack_words_pallas3
 
-            words, nbits = pack_words_pallas3(codes, lens, max_words)
+            words, nbits = pack_words_pallas3(codes, lens, max_words,
+                                              bit_offset=bit_offset)
         elif impl == "fused" and max_words % 128 == 0 and max_words >= 640:
             from ec504_imageencoder_tpu.ops.pallas_pack import pack_words_fused
 
-            words, nbits = pack_words_fused(codes, lens, max_words)
+            words, nbits = pack_words_fused(codes, lens, max_words,
+                                            bit_offset=bit_offset)
         elif impl == "fused2w" and max_words % 128 == 0 and max_words >= 1152:
             from ec504_imageencoder_tpu.ops.pallas_pack import pack_words_fused2w
 
-            words, nbits = pack_words_fused2w(codes, lens, max_words)
+            words, nbits = pack_words_fused2w(codes, lens, max_words,
+                                              bit_offset=bit_offset)
         elif impl == "fused4" and max_words % 128 == 0 and max_words >= 640:
             from ec504_imageencoder_tpu.ops.pallas_pack import pack_words_fused4
 
-            words, nbits = pack_words_fused4(codes, lens, max_words)
+            words, nbits = pack_words_fused4(codes, lens, max_words,
+                                             bit_offset=bit_offset)
         else:
-            words, nbits = pack_words_mxu(codes, lens, max_words)
+            words, nbits = pack_words_mxu(codes, lens, max_words,
+                                          bit_offset=bit_offset)
         return words_to_bytes(words, xp=jnp), nbits
 
     def generic_pack(codes, lens):
-        return pack_bytes(codes, lens, max_bytes, xp=jnp)
+        return pack_bytes(codes, lens, max_bytes, xp=jnp, bit_offset=bit_offset)
 
     return jax.lax.platform_dependent(
         codes, lens, tpu=tpu_pack, default=generic_pack

@@ -43,11 +43,14 @@ CHUNK = 128          # codes per chunk
 WINDOW = 192         # output-word window per chunk; covers <= 32-bit codes
 
 
-def _prep(codes, lens):
-    """Elementwise prep: per-code word index + the two word contributions."""
+def _prep(codes, lens, bit_offset: int = 0):
+    """Elementwise prep: per-code word index + the two word contributions.
+
+    bit_offset starts the stream that many bits into the buffer (room for
+    a fixed header ORed in afterwards); nbits includes it."""
     codes = jnp.where(lens > 0, codes.astype(jnp.uint32), jnp.uint32(0))
     lens = lens.astype(jnp.int32)
-    ends = jnp.cumsum(lens, axis=-1)
+    ends = jnp.cumsum(lens, axis=-1) + bit_offset
     off = ends - lens
     word = (off >> 5).astype(jnp.int32)
     s = (off & 31).astype(jnp.int32)
@@ -94,13 +97,13 @@ def _pack_kernel(word_ref, v_ref, wstart_ref, out_ref):
     jax.lax.fori_loop(0, nch, chunk_body, 0, unroll=False)
 
 
-@functools.partial(jax.jit, static_argnames=("max_words",))
-def pack_words_pallas(codes, lens, max_words: int):
+@functools.partial(jax.jit, static_argnames=("max_words", "bit_offset"))
+def pack_words_pallas(codes, lens, max_words: int, bit_offset: int = 0):
     """(..., K) codes/lens -> ((..., max_words) uint32 big-endian words,
     (...,) total bit counts).  TPU-only; validated against ops.bitpack."""
     assert max_words >= WINDOW, "output buffer smaller than one window"
     *batch, k = codes.shape
-    word, w0, w1, nbits = _prep(codes, lens)
+    word, w0, w1, nbits = _prep(codes, lens, bit_offset)
 
     pad = (-k) % CHUNK
     if pad:
@@ -204,15 +207,16 @@ def _pack2_kernel(word_ref, v_ref, wstart_ref, out_ref, *, chunk: int):
     jax.lax.fori_loop(0, nch, chunk_body, 0, unroll=False)
 
 
-@functools.partial(jax.jit, static_argnames=("max_words", "chunk"))
-def pack_words_pallas2(codes, lens, max_words: int, chunk: int = 256):
+@functools.partial(jax.jit, static_argnames=("max_words", "chunk", "bit_offset"))
+def pack_words_pallas2(codes, lens, max_words: int, chunk: int = 256,
+                       bit_offset: int = 0):
     """(..., K) codes/lens -> ((..., max_words) uint32 big-endian words,
     (...,) total bit counts).  WINDOW == chunk: within a chunk the bit
     offset advances < chunk*32 bits, so rebased word indices stay in
     [0, chunk)."""
     assert max_words >= chunk
     *batch, k = codes.shape
-    word, w0, w1, nbits = _prep(codes, lens)
+    word, w0, w1, nbits = _prep(codes, lens, bit_offset)
 
     pad = (-k) % chunk
     if pad:
@@ -300,14 +304,15 @@ def _pack3_kernel(word_ref, v_ref, tbase_ref, out_ref, *, chunk: int,
         )                                                       # (8, window)
 
 
-@functools.partial(jax.jit, static_argnames=("max_words", "chunk", "group"))
+@functools.partial(jax.jit, static_argnames=("max_words", "chunk", "group",
+                                               "bit_offset"))
 def pack_words_pallas3(codes, lens, max_words: int, chunk: int = 256,
-                       group: int = 8):
+                       group: int = 8, bit_offset: int = 0):
     """Two-level Pallas pack; same contract as pack_words."""
     assert max_words % 128 == 0 and max_words >= chunk + 128
     window = chunk + 128  # chunk spans <= chunk words + 127 alignment slack
     *batch, k = codes.shape
-    word, w0, w1, nbits = _prep(codes, lens)
+    word, w0, w1, nbits = _prep(codes, lens, bit_offset)
 
     pad = (-k) % (chunk * group)
     if pad:
@@ -472,8 +477,10 @@ def _fused_kernel(codes_ref, ends_ref, lens_ref, tbase_ref, out_ref, *,
             out_ref[0, :, pl.ds(idx + h * 128, 128)] = cur + win[h]
 
 
-@functools.partial(jax.jit, static_argnames=("max_words", "S", "group"))
-def pack_words_fused(codes, lens, max_words: int, S: int = 512, group: int = 16):
+@functools.partial(jax.jit, static_argnames=("max_words", "S", "group",
+                                               "bit_offset"))
+def pack_words_fused(codes, lens, max_words: int, S: int = 512, group: int = 16,
+                     bit_offset: int = 0):
     """Same contract as pack_words; the production TPU pack kernel.
 
     Negative result worth recording: fusing the bit-offset cumsum into the
@@ -487,7 +494,7 @@ def pack_words_fused(codes, lens, max_words: int, S: int = 512, group: int = 16)
     *batch, k = codes.shape
     codes = jnp.where(lens > 0, codes.astype(jnp.uint32), jnp.uint32(0))
     lens = lens.astype(jnp.int32)
-    ends = jnp.cumsum(lens, axis=-1)
+    ends = jnp.cumsum(lens, axis=-1) + bit_offset
     nbits = ends[..., -1]
 
     pad = (-k) % (S * group)
@@ -682,8 +689,10 @@ def _fused2w_kernel(v_ref, ends_ref, lens_ref, tbase_ref, out_ref, *,
             )
 
 
-@functools.partial(jax.jit, static_argnames=("max_words", "S", "group"))
-def pack_words_fused2w(codes, lens, max_words: int, S: int = 512, group: int = 16):
+@functools.partial(jax.jit, static_argnames=("max_words", "S", "group",
+                                               "bit_offset"))
+def pack_words_fused2w(codes, lens, max_words: int, S: int = 512, group: int = 16,
+                       bit_offset: int = 0):
     """Same contract as pack_words; level-1-fused production kernel."""
     window = 2 * S + 128
     ntile = window // 128
@@ -703,7 +712,7 @@ def pack_words_fused2w(codes, lens, max_words: int, S: int = 512, group: int = 1
         )
 
     vhi, vlo, flens = _fuse2_32(codes, lens, jnp)
-    ends = jnp.cumsum(flens, axis=-1)
+    ends = jnp.cumsum(flens, axis=-1) + bit_offset
     nbits = ends[..., -1]
     kf = ends.shape[-1]
     nsc = kf // S
@@ -823,8 +832,10 @@ def _fused4_kernel(v_ref, ends_ref, lens_ref, tbase_ref, out_ref, *,
             out_ref[0, :, pl.ds(idx + h * 128, 128)] = cur + win[h]
 
 
-@functools.partial(jax.jit, static_argnames=("max_words", "S", "group"))
-def pack_words_fused4(codes, lens, max_words: int, S: int = 128, group: int = 16):
+@functools.partial(jax.jit, static_argnames=("max_words", "S", "group",
+                                               "bit_offset"))
+def pack_words_fused4(codes, lens, max_words: int, S: int = 128, group: int = 16,
+                      bit_offset: int = 0):
     """Same contract as pack_words; 4:1 slot-fused production kernel."""
     window = 4 * S + 128
     ntile = window // 128
@@ -846,7 +857,7 @@ def pack_words_fused4(codes, lens, max_words: int, S: int = 128, group: int = 16
     # two exact fusion levels: (<=32b)x2 -> <=64b, (<=64b)x2 -> <=128b
     h1, l1, len1 = _fuse2_32(codes, lens, jnp)
     v0, v1, v2, v3, flens = _fuse2_64(h1, l1, len1, jnp)
-    ends = jnp.cumsum(flens, axis=-1)
+    ends = jnp.cumsum(flens, axis=-1) + bit_offset
     nbits = ends[..., -1]
     kf = ends.shape[-1]                               # fused slot count
     nsc = kf // S

@@ -214,6 +214,63 @@ def block_streams_compat(zz, is_luma, xp=np):
     return codes, lens
 
 
+def block_streams_correct64(zz, dc_pred, is_luma, xp=np, mb_first=None):
+    """ISO intra block emission in a lane-aligned 64-slot layout.
+
+    Bit-identical stream content to `block_streams_correct`, but shaped
+    for the TPU: exactly one slot per zigzag position, no concatenates —
+    the EOB code is folded into slot 63 ((code<<2)|'10') and, where
+    `mb_first` is set (the first block of a macroblock), the 2-bit
+    macroblock header '11' (address increment 1 + intra type,
+    mpeg1_blk.c:38-58 semantics) is folded into the DC slot.  Keeping the
+    last axis at 64 keeps every intermediate on native (8, 128) tiling;
+    the 65-slot layout forced XLA into relayout copies on every op
+    (measured ~12 ms of pure copy/reshape tail per 4x1080p batch).
+
+    zz: (..., 64) quantized zigzag; dc_pred: (...,) DC predictors;
+    mb_first: optional (...,) bool/int mask.  Returns (codes, lens) of
+    shape (..., 64).
+    """
+    zz = zz.astype(xp.int32)
+    nz, _ = _runs(zz, xp)
+    dc = zz[..., 0]
+    diff = dc - dc_pred
+
+    adiff = xp.abs(diff)
+    sz = _bitlength8(xp.clip(adiff, 0, 255), xp)
+    v = xp.where(diff >= 0, diff, diff + (1 << sz) - 1)
+    dc_bits = (v & ((1 << sz) - 1)).astype(xp.uint32)
+    luma_i = is_luma.astype(xp.int32) if hasattr(is_luma, "astype") else xp.int32(int(is_luma))
+    size_code, size_len = _dc_table(luma_i, sz, xp)
+    dc_code = xp.where(
+        sz > 0, (size_code << sz.astype(xp.uint32)) | dc_bits, size_code
+    )
+    dc_len = size_len + sz
+    if mb_first is not None:
+        first = mb_first.astype(bool) if hasattr(mb_first, "astype") else mb_first
+        dc_code = xp.where(
+            first, (xp.uint32(0b11) << dc_len.astype(xp.uint32)) | dc_code, dc_code
+        )
+        dc_len = dc_len + 2 * first.astype(xp.int32)
+
+    # AC runs: computed over all 64 lanes with position 0 forced nonzero
+    # (lane 0's own result is discarded — the DC slot replaces it below).
+    lane = xp.arange(64, dtype=xp.int32)
+    forced = xp.where(lane == 0, xp.int32(1), zz)
+    _, zb_all = _runs(forced, xp)
+    ac_code, ac_len = ac_codes_correct(zz, zb_all, xp)
+    ac_code = xp.where(nz, ac_code, xp.uint32(0))
+    ac_len = xp.where(nz, ac_len, xp.int32(0))
+
+    # fold the end-of-block code '10' into slot 63
+    ac_code = xp.where(lane == 63, (ac_code << 2) | xp.uint32(0b10), ac_code)
+    ac_len = xp.where(lane == 63, ac_len + 2, ac_len)
+
+    codes = xp.where(lane == 0, dc_code[..., None].astype(xp.uint32), ac_code)
+    lens = xp.where(lane == 0, dc_len[..., None], ac_len)
+    return codes, lens
+
+
 def block_streams_correct(zz, dc_pred, is_luma, xp=np):
     """ISO-compliant intra block emission.
 

@@ -99,3 +99,65 @@ def test_correct_pipeline_backend_determinism_quality_sweep(small_frames):
         )(padded, iq)
         assert np.array_equal(np.asarray(bj), bn), f"q={q} bit lengths"
         assert np.array_equal(np.asarray(sj), sn), f"q={q} bytes"
+
+
+def test_block_streams_correct64_matches_65slot(rng):
+    """The lane-aligned 64-slot layout (EOB folded into slot 63, MB code
+    folded into the DC slot, header as a pack bit offset) must pack to the
+    exact bit stream of the original 65-slot assembly."""
+    from ec504_imageencoder_tpu.ops.vlc_device import (
+        block_streams_correct,
+        block_streams_correct64,
+    )
+
+    for trial in range(200):
+        nblk = 12
+        zz = np.zeros((nblk, 64), np.int32)
+        for b in range(nblk):
+            n = rng.integers(0, 40)
+            pos = rng.choice(64, size=n, replace=False)
+            zz[b, pos] = rng.integers(-300, 301, size=n)
+        zz[:, 0] = rng.integers(0, 256, size=nblk)  # DC absolute values
+        pred = rng.integers(0, 256, size=nblk).astype(np.int32)
+        is_luma = rng.integers(0, 2, size=nblk).astype(np.int32)
+        mb_first = (np.arange(nblk) % 6 == 0).astype(np.int32)
+
+        # original layout: explicit MB-prefix slot + 65 block slots
+        c65, l65 = block_streams_correct(zz, pred, is_luma)
+        ref_c, ref_l = [], []
+        for b in range(nblk):
+            if mb_first[b]:
+                ref_c.append(np.uint32(0b11))
+                ref_l.append(np.int32(2))
+            ref_c.extend(c65[b])
+            ref_l.extend(l65[b])
+        ref_codes = np.array(ref_c, np.uint32)[None]
+        ref_lens = np.array(ref_l, np.int32)[None]
+        want, want_bits = pack_bytes(ref_codes, ref_lens, 1024)
+
+        c64, l64 = block_streams_correct64(zz, pred, is_luma, mb_first=mb_first)
+        got, got_bits = pack_bytes(
+            c64.reshape(1, -1), l64.reshape(1, -1), 1024
+        )
+        assert int(got_bits[0]) == int(want_bits[0]), trial
+        assert np.array_equal(got, want), trial
+
+
+def test_pack_bit_offset_matches_shifted_stream():
+    """bit_offset=38 packs the same bits 38 positions later."""
+    rng2 = np.random.default_rng(11)
+    lens = rng2.integers(0, 25, (3, 200)).astype(np.int32)
+    codes = (rng2.integers(0, 1 << 31, (3, 200)) &
+             ((1 << np.maximum(lens, 1)) - 1)).astype(np.uint32)
+    plain, bits = pack_bytes(codes, lens, 1024)
+    shifted, bits38 = pack_bytes(codes, lens, 1024, bit_offset=38)
+    assert np.array_equal(bits38, bits + 38)
+    # re-align by prepending 38 zero bits to the plain stream
+    for r in range(3):
+        w = BitWriter()
+        w.put(0, 38)
+        nb = int(bits[r])
+        for i in range(nb):
+            w.put((plain[r, i // 8] >> (7 - i % 8)) & 1, 1)
+        want = w.tobytes()
+        assert bytes(shifted[r, : len(want)]) == want

@@ -64,6 +64,29 @@ def test_pack_matches_oracle(impl):
         assert np.array_equal(ref_b, np.asarray(got_b)), impl
 
 
+OFFSET_IMPLS = {
+    "fused": lambda c, l, w: pack_words_fused(c, l, w, bit_offset=38),
+    "fused2w": lambda c, l, w: pack_words_fused2w(c, l, w, bit_offset=38),
+    "fused4": lambda c, l, w: pack_words_fused4(c, l, w, bit_offset=38),
+    "pallas3": lambda c, l, w: pack_words_pallas3(c, l, w, bit_offset=38),
+    "pallas1": lambda c, l, w: pack_words_pallas(c, l, w, bit_offset=38),
+    "mxu": lambda c, l, w: pack_words_mxu(c, l, w, bit_offset=38),
+}
+
+
+@pytest.mark.parametrize("impl", sorted(OFFSET_IMPLS))
+def test_pack_bit_offset_matches_oracle(impl):
+    """bit_offset=38 (the slice-header reservation) against the numpy oracle."""
+    rng = np.random.default_rng(7)
+    fn = OFFSET_IMPLS[impl]
+    for b, k, mw, dense in [(2, 4096, 1536, False), (1, 2048, 2304, True)]:
+        codes, lens = _fuzz_case(rng, b, k, dense)
+        ref_w, ref_b = pack_words(codes, lens, mw, xp=np, bit_offset=38)
+        got_w, got_b = fn(jnp.asarray(codes), jnp.asarray(lens), mw)
+        assert np.array_equal(ref_w, np.asarray(got_w)), impl
+        assert np.array_equal(ref_b, np.asarray(got_b)), impl
+
+
 def test_pack_overflow_drop():
     """Codes past max_words are dropped, matching the oracle."""
     rng = np.random.default_rng(7)
