@@ -77,6 +77,201 @@ def pad_to_macroblocks(frames: np.ndarray) -> np.ndarray:
     return frames
 
 
+def _emit_and_pack_generic(zz, pred, max_slice_bytes, xp):
+    """XLA/numpy VLC emission + pack: 64-slot layout, header bit offset."""
+    bsz, mbh, mbw = zz.shape[0], zz.shape[1], zz.shape[2]
+    is_luma = xp.broadcast_to(
+        xp.asarray(np.array([1, 1, 1, 1, 0, 0], np.int32)), zz.shape[:-1]
+    )
+    # 2-bit MB header '11' folds into the first block's DC slot
+    mb_first = xp.broadcast_to(
+        xp.asarray(np.array([1, 0, 0, 0, 0, 0], np.int32)), zz.shape[:-1]
+    )
+    codes, lens = block_streams_correct64(zz, pred, is_luma, xp,
+                                          mb_first=mb_first)
+    # 64 slots per block, EOB and MB codes folded in -> the slot stream
+    # is a pure contiguous reshape; the 38-bit slice header (start code
+    # + vpos + qscale) rides as a pack offset and is ORed into the
+    # first 5 bytes by the caller.  No concatenates anywhere.
+    slice_codes = codes.reshape(bsz, mbh, mbw * 6 * 64)
+    slice_lens = lens.reshape(bsz, mbh, mbw * 6 * 64)
+    from ec504_imageencoder_tpu.ops.bitpack import pack_bytes_device
+
+    return pack_bytes_device(
+        slice_codes, slice_lens, max_slice_bytes, xp=xp, bit_offset=38
+    )
+
+
+def _emit_and_pack_tpu(zz, pred, max_slice_bytes):
+    """Fused-kernel path: Pallas VLC kernel (slots in a (64, blocks)
+    VMEM-friendly layout, in-kernel AC table lookup) -> 4:1 slot fusion
+    on leading axes -> fused4 pack core.  Bit-identical to the generic
+    path; ~3x fewer HBM passes."""
+    import jax.numpy as jnp
+
+    from ec504_imageencoder_tpu.ops.bitpack import words_to_bytes
+    from ec504_imageencoder_tpu.ops.pallas_pack import pack_words_fused4_core
+    from ec504_imageencoder_tpu.ops.pallas_vlc import (
+        fuse_slots_streamwise,
+        vlc_slots_tpu,
+    )
+
+    bsz, mbh, mbw = zz.shape[0], zz.shape[1], zz.shape[2]
+    r, nb = bsz * mbh, mbw * 6
+    zzT = zz.reshape(r, nb, 64).transpose(0, 2, 1)
+    predT = pred.reshape(r, nb)
+    codes, lens = vlc_slots_tpu(zzT, predT)
+    v0, v1, v2, v3, flens = fuse_slots_streamwise(codes, lens)
+    words, nbits = pack_words_fused4_core(
+        v0, v1, v2, v3, flens, max_slice_bytes // 4, bit_offset=38
+    )
+    seg = words_to_bytes(words, xp=jnp)
+    return (seg.reshape(bsz, mbh, max_slice_bytes),
+            nbits.reshape(bsz, mbh).astype(jnp.int32))
+
+
+def _dc_predictors(dc, bsz, mbh, mbw, xp):
+    """Shifted previous same-component DC, 128 at slice start.
+
+    dc: (B, mbh, mbw, 6) -> pred of the same shape."""
+    p128 = xp.full((bsz, mbh, 1), 128, dtype=dc.dtype)
+    luma_dc = dc[..., :4].reshape(bsz, mbh, mbw * 4)
+    luma_pred = xp.concatenate([p128, luma_dc[..., :-1]], axis=-1)
+    luma_pred = luma_pred.reshape(bsz, mbh, mbw, 4)
+    cb_pred = xp.concatenate([p128, dc[..., :-1, 4]], axis=-1)[..., None]
+    cr_pred = xp.concatenate([p128, dc[..., :-1, 5]], axis=-1)[..., None]
+    return xp.concatenate([luma_pred, cb_pred, cr_pred], axis=-1)
+
+
+def _generic_pipeline_from_planes(
+    y, cb, cr, intra_q, qscale, max_slice_bytes, xp, dct_impl
+):
+    """Reference XLA/numpy path: blockize -> DCT -> quantize -> zigzag ->
+    64-slot VLC emission -> prefix-sum pack.  Runs under numpy (host
+    oracle), on CPU device meshes, and as the non-AAN / non-TPU fallback."""
+    bsz, h, w = y.shape
+    mbh, mbw = h // 16, w // 16
+
+    def blockgrid(p):
+        hh, ww = p.shape[-2], p.shape[-1]
+        g = p.reshape(bsz, hh // 8, 8, ww // 8, 8)
+        return g.transpose(0, 1, 3, 2, 4)  # (B, rows8, cols8, 8, 8)
+
+    # pure reshape/transpose (no gather — advanced indexing lowers to a
+    # serializing XLA gather on TPU): luma MB order [TL, TR, BL, BR]
+    lg = y.reshape(bsz, mbh, 2, 8, mbw, 2, 8)
+    luma = lg.transpose(0, 1, 4, 2, 5, 3, 6).reshape(bsz, mbh, mbw, 4, 8, 8)
+    cbb = blockgrid(cb)[:, :, :, None]                 # (B,mbh,mbw,1,8,8)
+    crb = blockgrid(cr)[:, :, :, None]
+    blocks = xp.concatenate([luma, cbb, crb], axis=3)  # (B,mbh,mbw,6,8,8)
+
+    f = aan_dct(blocks, xp) if dct_impl == "aan" else matmul_dct(blocks, xp)
+
+    # ISO intra quantization: DC step 8 (rounded); AC level =
+    # round-half-up(8*F / (qscale*W)), clamped to the escape range.
+    dc = xp.clip((f[..., 0, 0] + 4) >> 3, 0, 255)      # (B,mbh,mbw,6)
+    qw = (intra_q * qscale).astype(xp.int32)           # (8,8)
+    num = 16 * xp.abs(f) + qw
+    mag = exact_div_floor(num, 2 * qw, xp) if xp is not np else (num // (2 * qw))
+    lvl = xp.sign(f) * xp.clip(mag, 0, 255)
+    zzq = zigzag_scan(lvl, xp)
+    # lane-aligned DC substitution (a concatenate would force a 1+63
+    # relayout copy of the whole coefficient tensor)
+    lane = xp.arange(64, dtype=xp.int32)
+    zz = xp.where(lane == 0, dc[..., None], zzq)
+
+    pred = _dc_predictors(dc, bsz, mbh, mbw, xp)
+    return _emit_and_pack(zz, pred, max_slice_bytes, xp)
+
+
+def _tpu_pipeline_from_planes(y, cb, cr, intra_q, qscale, max_slice_bytes):
+    """TPU fast path: everything after colorspace in the blocks-on-lanes
+    layout (..., 8y, 8x, NB) / (..., 64, NB), ending in the fused Pallas
+    VLC kernel and the fused4 pack core.
+
+    The (..., 6, 8, 8) layout's minor-dim-8 tiles force XLA into
+    (4,128)(4,1) relayouts (the single biggest op in round-1 traces was
+    the blockize transpose at 1.4 ms); here the big NB=mbw*6 axis stays
+    on lanes end to end and the only transposes are one u8 blockize and
+    the 4:1-fused slot stream (4x smaller than raw slots).
+    """
+    import jax.numpy as jnp
+
+    from ec504_imageencoder_tpu.ops.bitpack import words_to_bytes
+    from ec504_imageencoder_tpu.ops.dct import aan_dct_nb
+    from ec504_imageencoder_tpu.ops.pallas_pack import pack_words_fused4_core
+    from ec504_imageencoder_tpu.ops.pallas_vlc import (
+        fuse_slots_streamwise,
+        vlc_slots_tpu,
+    )
+    from ec504_imageencoder_tpu.ops.quant import exact_div_floor
+    from ec504_imageencoder_tpu.utils.tables import ZIGZAG_GATHER
+
+    bsz, h, w = y.shape
+    mbh, mbw = h // 16, w // 16
+    nb = mbw * 6
+
+    # blockize straight into (B, mbh, 8y, 8x, NB) u8
+    lg = y.reshape(bsz, mbh, 2, 8, mbw, 2, 8)
+    luma = lg.transpose(0, 1, 3, 6, 4, 2, 5).reshape(bsz, mbh, 8, 8, mbw, 4)
+    cbb = cb.reshape(bsz, mbh, 8, mbw, 8).transpose(0, 1, 2, 4, 3)[..., None]
+    crb = cr.reshape(bsz, mbh, 8, mbw, 8).transpose(0, 1, 2, 4, 3)[..., None]
+    blocks = jnp.concatenate([luma, cbb, crb], axis=-1).reshape(
+        bsz, mbh, 8, 8, nb
+    )
+
+    f = aan_dct_nb(blocks, jnp)                        # (B,mbh,8,8,NB) i32
+
+    dc = jnp.clip((f[..., 0, 0, :] + 4) >> 3, 0, 255)  # (B,mbh,NB)
+    qw = (intra_q * qscale).astype(jnp.int32)          # (8,8)
+    num = 16 * jnp.abs(f) + qw[..., None]
+    mag = exact_div_floor(num, 2 * qw[..., None], jnp)
+    lvl = jnp.sign(f) * jnp.clip(mag, 0, 255)
+
+    # zigzag as 64 static (row, col) slices; slot 0 carries the DC
+    zr, zc = ZIGZAG_GATHER // 8, ZIGZAG_GATHER % 8
+    rows = [lvl[..., int(zr[k]), int(zc[k]), :] for k in range(64)]
+    rows[0] = dc
+    zz = jnp.stack(rows, axis=-2)                      # (B,mbh,64,NB)
+
+    pred = _dc_predictors(
+        dc.reshape(bsz, mbh, mbw, 6), bsz, mbh, mbw, jnp
+    ).reshape(bsz * mbh, nb)
+
+    codes, lens = vlc_slots_tpu(zz.reshape(bsz * mbh, 64, nb), pred)
+    v0, v1, v2, v3, flens = fuse_slots_streamwise(codes, lens)
+    words, nbits = pack_words_fused4_core(
+        v0, v1, v2, v3, flens, max_slice_bytes // 4, bit_offset=38
+    )
+    seg = words_to_bytes(words, xp=jnp)
+    return (seg.reshape(bsz, mbh, max_slice_bytes),
+            nbits.reshape(bsz, mbh).astype(jnp.int32))
+
+
+def _emit_and_pack(zz, pred, max_slice_bytes, xp):
+    if xp is np:
+        return _emit_and_pack_generic(zz, pred, max_slice_bytes, xp)
+    import os
+
+    import jax
+
+    use_fused = os.environ.get("EC504_VLC", "fused") == "fused"
+    mw = max_slice_bytes // 4
+
+    def tpu(zz, pred):
+        if use_fused and mw % 128 == 0 and mw >= 640:
+            return _emit_and_pack_tpu(zz, pred, max_slice_bytes)
+        return _emit_and_pack_generic(zz, pred, max_slice_bytes, xp)
+
+    return jax.lax.platform_dependent(
+        zz, pred,
+        tpu=tpu,
+        default=lambda zz, pred: _emit_and_pack_generic(
+            zz, pred, max_slice_bytes, xp
+        ),
+    )
+
+
 def correct_pipeline(
     rgb, intra_q, qscale, max_slice_bytes, xp=np, dct_impl="aan",
     color_range="studio",
@@ -105,73 +300,55 @@ def correct_pipeline(
         scope = jax.named_scope  # stages attributable in xprof traces
 
     with scope("color_subsample"):
-        to_ycbcr = rgb_to_ycbcr_studio if color_range == "studio" else rgb_to_ycbcr
-        y, cb, cr = to_ycbcr(rgb, xp)
+        if xp is np:
+            to_ycbcr = (rgb_to_ycbcr_studio if color_range == "studio"
+                        else rgb_to_ycbcr)
+            y, cb, cr = to_ycbcr(rgb, xp)
+        else:
+            # one bitcast to packed u32 avoids re-reading the interleaved
+            # (..., 3) u8 layout (minor-dim-3 tiles inflate reads ~10x)
+            from ec504_imageencoder_tpu.ops.color import (
+                pack_rgbx_u32,
+                rgb_to_ycbcr_packed,
+            )
+
+            pix = pack_rgbx_u32(rgb, xp)
+            y, cb, cr = rgb_to_ycbcr_packed(pix, xp, color_range)
         cb = subsample_420(cb, xp)
         cr = subsample_420(cr, xp)
 
-    def blockgrid(p):
-        hh, ww = p.shape[-2], p.shape[-1]
-        g = p.reshape(bsz, hh // 8, 8, ww // 8, 8)
-        return g.transpose(0, 1, 3, 2, 4)  # (B, rows8, cols8, 8, 8)
+    with scope("encode_pack"):
+        if xp is np:
+            seg, nbits = _generic_pipeline_from_planes(
+                y, cb, cr, intra_q, qscale, max_slice_bytes, xp, dct_impl
+            )
+        else:
+            import os
 
-    with scope("blockize"):
-        # pure reshape/transpose (no gather — advanced indexing lowers to a
-        # serializing XLA gather on TPU): luma MB order [TL, TR, BL, BR]
-        lg = y.reshape(bsz, mbh, 2, 8, mbw, 2, 8)
-        luma = lg.transpose(0, 1, 4, 2, 5, 3, 6).reshape(bsz, mbh, mbw, 4, 8, 8)
-        cbb = blockgrid(cb)[:, :, :, None]                 # (B,mbh,mbw,1,8,8)
-        crb = blockgrid(cr)[:, :, :, None]
-        blocks = xp.concatenate([luma, cbb, crb], axis=3)  # (B,mbh,mbw,6,8,8)
+            import jax
 
-    with scope("dct"):
-        f = aan_dct(blocks, xp) if dct_impl == "aan" else matmul_dct(blocks, xp)
+            mw = max_slice_bytes // 4
+            fused_ok = (
+                os.environ.get("EC504_VLC", "fused") == "fused"
+                and dct_impl == "aan" and mw % 128 == 0 and mw >= 640
+            )
+            generic = functools.partial(
+                _generic_pipeline_from_planes,
+                intra_q=intra_q, qscale=qscale,
+                max_slice_bytes=max_slice_bytes, xp=xp, dct_impl=dct_impl,
+            )
+            if fused_ok:
+                seg, nbits = jax.lax.platform_dependent(
+                    y, cb, cr,
+                    tpu=lambda y, cb, cr: _tpu_pipeline_from_planes(
+                        y, cb, cr, intra_q, qscale, max_slice_bytes
+                    ),
+                    default=lambda y, cb, cr: generic(y, cb, cr),
+                )
+            else:
+                seg, nbits = generic(y, cb, cr)
 
-    # ISO intra quantization: DC step 8 (rounded); AC level =
-    # round-half-up(8*F / (qscale*W)), clamped to the escape range.
-    with scope("quantize_zigzag"):
-        dc = xp.clip((f[..., 0, 0] + 4) >> 3, 0, 255)      # (B,mbh,mbw,6)
-        qw = (intra_q * qscale).astype(xp.int32)           # (8,8)
-        num = 16 * xp.abs(f) + qw
-        mag = exact_div_floor(num, 2 * qw, xp) if xp is not np else (num // (2 * qw))
-        lvl = xp.sign(f) * xp.clip(mag, 0, 255)
-        zzq = zigzag_scan(lvl, xp)
-        # lane-aligned DC substitution (a concatenate would force a 1+63
-        # relayout copy of the whole coefficient tensor)
-        lane = xp.arange(64, dtype=xp.int32)
-        zz = xp.where(lane == 0, dc[..., None], zzq)
-
-    with scope("vlc"):
-        # DC predictors: shifted previous same-component DC, 128 at slice start
-        p128 = xp.full((bsz, mbh, 1), 128, dtype=dc.dtype)
-        luma_dc = dc[..., :4].reshape(bsz, mbh, mbw * 4)
-        luma_pred = xp.concatenate([p128, luma_dc[..., :-1]], axis=-1)
-        luma_pred = luma_pred.reshape(bsz, mbh, mbw, 4)
-        cb_pred = xp.concatenate([p128, dc[..., :-1, 4]], axis=-1)[..., None]
-        cr_pred = xp.concatenate([p128, dc[..., :-1, 5]], axis=-1)[..., None]
-        pred = xp.concatenate([luma_pred, cb_pred, cr_pred], axis=-1)
-
-        comp = xp.asarray(np.array([1, 1, 1, 1, 0, 0], np.int32))
-        is_luma = xp.broadcast_to(comp, zz.shape[:-1])
-        # 2-bit MB header '11' folds into the first block's DC slot
-        mb_first = xp.broadcast_to(
-            xp.asarray(np.array([1, 0, 0, 0, 0, 0], np.int32)), zz.shape[:-1]
-        )
-        codes, lens = block_streams_correct64(zz, pred, is_luma, xp,
-                                              mb_first=mb_first)
-
-    with scope("bitpack"):
-        # 64 slots per block, EOB and MB codes folded in -> the slot stream
-        # is a pure contiguous reshape; the 38-bit slice header (start code
-        # + vpos + qscale) rides as a pack offset and is ORed into the
-        # first 5 bytes below.  No concatenates anywhere.
-        slice_codes = codes.reshape(bsz, mbh, mbw * 6 * 64)
-        slice_lens = lens.reshape(bsz, mbh, mbw * 6 * 64)
-        from ec504_imageencoder_tpu.ops.bitpack import pack_bytes_device
-
-        seg, nbits = pack_bytes_device(
-            slice_codes, slice_lens, max_slice_bytes, xp=xp, bit_offset=38
-        )
+    with scope("bitpack_headers"):
         vpos = xp.arange(1, mbh + 1, dtype=xp.uint8)
         hdr = xp.stack(
             [

@@ -29,6 +29,51 @@ def rgb_to_ycbcr_exact(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndar
     return y, cb, cr
 
 
+def _ycbcr_full_i32(r, g, b, xp):
+    half = 1 << 15
+    y = (19595 * r + 38470 * g + 7471 * b + half) >> 16
+    cb = ((-11059 * r - 21709 * g + 32768 * b + half) >> 16) + 128
+    cr = ((32768 * r - 27439 * g - 5329 * b + half) >> 16) + 128
+    u8 = lambda v: xp.clip(v, 0, 255).astype(xp.uint8)
+    return u8(y), u8(cb), u8(cr)
+
+
+def _ycbcr_studio_i32(r, g, b, xp):
+    half = 1 << 15
+    # 65536 * 219/255 * (0.299, 0.587, 0.114) and 224/255 * Cb/Cr rows
+    y = ((16830 * r + 33039 * g + 6417 * b + half) >> 16) + 16
+    cb = ((-9715 * r - 19070 * g + 28784 * b + half) >> 16) + 128
+    cr = ((28784 * r - 24103 * g - 4681 * b + half) >> 16) + 128
+    u8 = lambda v: xp.clip(v, 0, 255).astype(xp.uint8)
+    return u8(y), u8(cb), u8(cr)
+
+
+def pack_rgbx_u32(rgb, xp):
+    """(..., 3) u8 interleaved RGB -> (...,) u32 0x00BBGGRR (little-endian).
+
+    An interleaved u8 image's minor dimension of 3 pads to a full lane
+    tile on TPU (~10x read inflation — the single most expensive op in
+    the 1080p pipeline trace was the color conversion reading it).  One
+    zero-pad + bitcast converts to a clean rank-3 u32 array; channel
+    extraction becomes shifts/masks.  jnp-only (numpy callers keep the
+    sliced path, which is fine on CPU)."""
+    import jax
+
+    z = xp.zeros(rgb.shape[:-1] + (1,), xp.uint8)
+    return jax.lax.bitcast_convert_type(
+        xp.concatenate([rgb, z], axis=-1), xp.uint32
+    )
+
+
+def rgb_to_ycbcr_packed(pix, xp, color_range: str = "studio"):
+    """Packed-u32 variant of rgb_to_ycbcr[_studio]; bit-identical output."""
+    r = (pix & 0xFF).astype(xp.int32)
+    g = ((pix >> 8) & 0xFF).astype(xp.int32)
+    b = ((pix >> 16) & 0xFF).astype(xp.int32)
+    fn = _ycbcr_studio_i32 if color_range == "studio" else _ycbcr_full_i32
+    return fn(r, g, b, xp)
+
+
 def rgb_to_ycbcr(rgb, xp=np):
     """Device colorspace kernel: 16-bit fixed point BT.601 full range.
 
@@ -39,13 +84,7 @@ def rgb_to_ycbcr(rgb, xp=np):
     (..., H, W, 3) u8 -> three (..., H, W) u8 planes.
     """
     i = rgb.astype(xp.int32)
-    r, g, b = i[..., 0], i[..., 1], i[..., 2]
-    half = 1 << 15
-    y = (19595 * r + 38470 * g + 7471 * b + half) >> 16
-    cb = ((-11059 * r - 21709 * g + 32768 * b + half) >> 16) + 128
-    cr = ((32768 * r - 27439 * g - 5329 * b + half) >> 16) + 128
-    u8 = lambda v: xp.clip(v, 0, 255).astype(xp.uint8)
-    return u8(y), u8(cb), u8(cr)
+    return _ycbcr_full_i32(i[..., 0], i[..., 1], i[..., 2], xp)
 
 
 def rgb_to_ycbcr_studio(rgb, xp=np):
@@ -60,14 +99,7 @@ def rgb_to_ycbcr_studio(rgb, xp=np):
     (..., H, W, 3) u8 -> three (..., H, W) u8 planes.
     """
     i = rgb.astype(xp.int32)
-    r, g, b = i[..., 0], i[..., 1], i[..., 2]
-    half = 1 << 15
-    # 65536 * 219/255 * (0.299, 0.587, 0.114) and 224/255 * Cb/Cr rows
-    y = ((16830 * r + 33039 * g + 6417 * b + half) >> 16) + 16
-    cb = ((-9715 * r - 19070 * g + 28784 * b + half) >> 16) + 128
-    cr = ((28784 * r - 24103 * g - 4681 * b + half) >> 16) + 128
-    u8 = lambda v: xp.clip(v, 0, 255).astype(xp.uint8)
-    return u8(y), u8(cb), u8(cr)
+    return _ycbcr_studio_i32(i[..., 0], i[..., 1], i[..., 2], xp)
 
 
 def subsample_420(plane, xp=np):

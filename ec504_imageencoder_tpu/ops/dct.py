@@ -118,6 +118,43 @@ def aan_dct(blocks, xp=np):
     return xp.stack(out, axis=-2)
 
 
+def aan_dct_nb(blocks, xp=np):
+    """aan_dct for the blocks-on-lanes layout: (..., 8y, 8x, NB) -> i32.
+
+    Bit-identical arithmetic to `aan_dct`; the pixel axes are
+    second/third-minor so every butterfly slice keeps the large NB axis
+    on TPU lanes (the (..., 8, 8) layout's minor-dim-8 forces XLA into
+    tiny (4,128)(4,1) tiles and relayout copies on every stage).
+    """
+    x = blocks.astype(xp.int32)
+    # row pass: combine along the 8x axis
+    a = [x[..., :, k, :] for k in range(8)]
+    e0, e4, e2, e6, o1, o5, o7, o3 = _aan_butterfly(a, xp)
+    rows = [None] * 8
+    rows[0] = e0
+    rows[4] = e4
+    rows[2] = e2 >> 10
+    rows[6] = e6 >> 10
+    rows[7] = (o1 - o5) >> 10
+    rows[1] = (o1 + o5) >> 10
+    rows[3] = (o7 * _R2) >> 17
+    rows[5] = (o3 * _R2) >> 17
+    r = xp.stack(rows, axis=-2)  # (..., 8y, 8j, NB)
+    # column pass: combine along the 8y axis
+    a = [r[..., k, :, :] for k in range(8)]
+    e0, e4, e2, e6, o1, o5, o7, o3 = _aan_butterfly(a, xp)
+    out = [None] * 8
+    out[0] = (e0 + 16) >> 3
+    out[4] = (e4 + 16) >> 3
+    out[2] = (e2 + 16384) >> 13
+    out[6] = (e6 + 16384) >> 13
+    out[7] = (o1 - o5 + 16384) >> 13
+    out[1] = (o1 + o5 + 16384) >> 13
+    out[3] = ((o7 >> 8) * _R2 + 8192) >> 12
+    out[5] = ((o3 >> 8) * _R2 + 8192) >> 12
+    return xp.stack(out, axis=-3)  # (..., 8v, 8u, NB)
+
+
 def aan_idct(dct_blocks, xp=np):
     """Exact int32 AAN inverse of the reference (image_processing.c:492-603).
 

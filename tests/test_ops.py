@@ -132,3 +132,36 @@ def test_vlc_tables_prefix_free():
             if tables.AC_LEN_CORRECT[r, l]:
                 ac.append((int(tables.AC_CODE_CORRECT[r, l]), int(tables.AC_LEN_CORRECT[r, l])))
     assert_prefix_free(ac)
+
+
+def test_aan_dct_nb_matches_aan_dct():
+    """Blocks-on-lanes AAN layout is bit-identical to the (..., 8, 8) one."""
+    from ec504_imageencoder_tpu.ops.dct import aan_dct, aan_dct_nb
+
+    rng = np.random.default_rng(5)
+    blocks = rng.integers(0, 256, (3, 7, 8, 8), dtype=np.int32)
+    want = aan_dct(blocks)                     # (3, 7, 8, 8)
+    got = aan_dct_nb(blocks.transpose(2, 3, 0, 1).reshape(8, 8, 21))
+    assert np.array_equal(got.reshape(8, 8, 3, 7).transpose(2, 3, 0, 1), want)
+
+
+def test_packed_rgbx_color_matches_sliced():
+    """Bitcast RGBX deinterleave (incl. byte order) equals the sliced path."""
+    import jax.numpy as jnp
+
+    from ec504_imageencoder_tpu.ops.color import (
+        pack_rgbx_u32,
+        rgb_to_ycbcr,
+        rgb_to_ycbcr_packed,
+        rgb_to_ycbcr_studio,
+    )
+
+    rng = np.random.default_rng(9)
+    rgb = rng.integers(0, 256, (2, 32, 48, 3), dtype=np.uint8)
+    pix = pack_rgbx_u32(jnp.asarray(rgb), jnp)
+    for rng_name, ref_fn in (("studio", rgb_to_ycbcr_studio),
+                             ("full", rgb_to_ycbcr)):
+        want = ref_fn(rgb, np)
+        got = rgb_to_ycbcr_packed(pix, jnp, rng_name)
+        for w, g in zip(want, got):
+            assert np.array_equal(w, np.asarray(g)), rng_name
