@@ -195,21 +195,28 @@ def _tpu_pipeline_from_planes(y, cb, cr, intra_q, qscale, max_slice_bytes):
     on lanes end to end and the only transposes are one u8 blockize and
     the 4:1-fused slot stream (4x smaller than raw slots).
     """
+    import os
+
+    import jax
     import jax.numpy as jnp
 
     from ec504_imageencoder_tpu.ops.bitpack import words_to_bytes
-    from ec504_imageencoder_tpu.ops.dct import aan_dct_nb
     from ec504_imageencoder_tpu.ops.pallas_pack import pack_words_fused4_core
     from ec504_imageencoder_tpu.ops.pallas_vlc import (
         fuse_slots_streamwise,
-        vlc_slots_tpu,
+        vlc_from_blocks_tpu,
     )
-    from ec504_imageencoder_tpu.ops.quant import exact_div_floor
-    from ec504_imageencoder_tpu.utils.tables import ZIGZAG_GATHER
 
     bsz, h, w = y.shape
     mbh, mbw = h // 16, w // 16
     nb = mbw * 6
+
+    if os.environ.get("EC504_BLOCKIZE_BARRIER", "1") == "1":
+        # materialize the clean (B, H, W) planes before the blockize
+        # transpose: otherwise XLA fuses the colorspace math INTO the
+        # blockized-layout write and reads the frame in scattered block
+        # order (1.4 ms vs one sequential pass + one tiled transpose)
+        y, cb, cr = jax.lax.optimization_barrier((y, cb, cr))
 
     # blockize straight into (B, mbh, 8y, 8x, NB) u8
     lg = y.reshape(bsz, mbh, 2, 8, mbw, 2, 8)
@@ -217,31 +224,18 @@ def _tpu_pipeline_from_planes(y, cb, cr, intra_q, qscale, max_slice_bytes):
     cbb = cb.reshape(bsz, mbh, 8, mbw, 8).transpose(0, 1, 2, 4, 3)[..., None]
     crb = cr.reshape(bsz, mbh, 8, mbw, 8).transpose(0, 1, 2, 4, 3)[..., None]
     blocks = jnp.concatenate([luma, cbb, crb], axis=-1).reshape(
-        bsz, mbh, 8, 8, nb
+        bsz * mbh, 8, 8, nb
     )
 
-    f = aan_dct_nb(blocks, jnp)                        # (B,mbh,8,8,NB) i32
-
-    dc = jnp.clip((f[..., 0, 0, :] + 4) >> 3, 0, 255)  # (B,mbh,NB)
+    # one kernel per slice row: DCT + quantize + zigzag + DC prediction +
+    # VLC emission, all in VMEM
     qw = (intra_q * qscale).astype(jnp.int32)          # (8,8)
-    num = 16 * jnp.abs(f) + qw[..., None]
-    mag = exact_div_floor(num, 2 * qw[..., None], jnp)
-    lvl = jnp.sign(f) * jnp.clip(mag, 0, 255)
-
-    # zigzag as 64 static (row, col) slices; slot 0 carries the DC
-    zr, zc = ZIGZAG_GATHER // 8, ZIGZAG_GATHER % 8
-    rows = [lvl[..., int(zr[k]), int(zc[k]), :] for k in range(64)]
-    rows[0] = dc
-    zz = jnp.stack(rows, axis=-2)                      # (B,mbh,64,NB)
-
-    pred = _dc_predictors(
-        dc.reshape(bsz, mbh, mbw, 6), bsz, mbh, mbw, jnp
-    ).reshape(bsz * mbh, nb)
-
-    codes, lens = vlc_slots_tpu(zz.reshape(bsz * mbh, 64, nb), pred)
+    codes, lens = vlc_from_blocks_tpu(blocks, qw)
     v0, v1, v2, v3, flens = fuse_slots_streamwise(codes, lens)
+    pack_group = int(os.environ.get("EC504_PACK_GROUP", "32"))
     words, nbits = pack_words_fused4_core(
-        v0, v1, v2, v3, flens, max_slice_bytes // 4, bit_offset=38
+        v0, v1, v2, v3, flens, max_slice_bytes // 4, group=pack_group,
+        bit_offset=38,
     )
     seg = words_to_bytes(words, xp=jnp)
     return (seg.reshape(bsz, mbh, max_slice_bytes),

@@ -79,12 +79,10 @@ def _rank_count(ri):
     return c
 
 
-def _vlc_kernel(zz_ref, pred_ref, comp_ref, tmat_ref, code_ref, len_ref, *,
-                nb: int):
-    zz = zz_ref[0]                                   # (64, NB) i32
-    pred = pred_ref[0]                               # (1, NB) i32
-    comp = comp_ref[...]                             # (1, NB) i32: block % 6
-
+def _emit_slots(zz, pred, comp, tmat, nb: int):
+    """Shared in-kernel slot emission: (64, NB) zigzag levels (slot 0 =
+    absolute DC) + (1, NB) predictors + (1, NB) component indices ->
+    ((64, NB) u32 codes, (64, NB) i32 lens)."""
     slot = jax.lax.broadcasted_iota(jnp.int32, (64, nb), 0)
 
     # ---- runs: zeros before each slot, slot 0 forced nonzero ------------
@@ -129,7 +127,7 @@ def _vlc_kernel(zz_ref, pred_ref, comp_ref, tmat_ref, code_ref, len_ref, *,
             axis=0,
         )                                            # (96, NB)
         out = jax.lax.dot_general(
-            tmat_ref[...], oh, (((1,), (0,)), ((), ())),
+            tmat, oh, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                            # (126, NB)
         for t in range(EPC):
@@ -203,8 +201,18 @@ def _vlc_kernel(zz_ref, pred_ref, comp_ref, tmat_ref, code_ref, len_ref, *,
     )
     dc_len = dc_len + 2 * mb_first.astype(jnp.int32)
 
-    code_ref[0] = jnp.where(slot == 0, jnp.broadcast_to(dc_code, (64, nb)), ac_code)
-    len_ref[0] = jnp.where(slot == 0, jnp.broadcast_to(dc_len, (64, nb)), ac_len)
+    codes = jnp.where(slot == 0, jnp.broadcast_to(dc_code, (64, nb)), ac_code)
+    lens = jnp.where(slot == 0, jnp.broadcast_to(dc_len, (64, nb)), ac_len)
+    return codes, lens
+
+
+def _vlc_kernel(zz_ref, pred_ref, comp_ref, tmat_ref, code_ref, len_ref, *,
+                nb: int):
+    codes, lens = _emit_slots(
+        zz_ref[0], pred_ref[0], comp_ref[...], tmat_ref[...], nb
+    )
+    code_ref[0] = codes
+    len_ref[0] = lens
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -283,3 +291,123 @@ def fuse_slots_streamwise(codes, lens):
         return x.transpose(0, 2, 1).reshape(r, nb * 16)
 
     return stream(v0), stream(v1), stream(v2), stream(v3), stream(flens)
+
+
+# ---------------------------------------------------------------------------
+# Full-block kernel: u8 pixel blocks -> VLC slots, one kernel per slice row.
+#
+# Folds the integer AAN DCT, ISO quantization, zigzag, and the DC
+# predictor chain into the same kernel as the slot emission, so the only
+# XLA stages left around it are the u8 blockize relayout in front and the
+# 4:1 slot fusion + pack behind.  The AAN here is bit-identical to
+# ops.dct.aan_dct (same butterfly source, same shifts).
+
+
+def _dc_pred_lanes(dc, comp, nb):
+    """Previous same-component DC in stream order, 128 at slice start.
+
+    dc, comp: (1, NB).  Luma components 1-3 look back 1 block, luma 0
+    looks back 3 (previous MB's bottom-right), chroma look back 6."""
+    def back(k):
+        return jnp.concatenate(
+            [jnp.full((1, k), 128, jnp.int32), dc[:, : nb - k]], axis=1
+        )
+
+    b1, b3, b6 = back(1), back(3), back(6)
+    return jnp.where(comp == 0, b3, jnp.where(comp >= 4, b6, b1))
+
+
+def _vlc_blocks_kernel(blk_ref, qw_ref, comp_ref, tmat_ref, code_ref,
+                       len_ref, *, nb: int, zpos: tuple):
+    from ec504_imageencoder_tpu.ops.dct import _aan_butterfly
+
+    x = blk_ref[0].astype(jnp.int32)                 # (8y, 8x, NB)
+
+    # ---- AAN forward DCT (bit-identical to ops.dct.aan_dct) -------------
+    a = [x[:, k, :] for k in range(8)]
+    e0, e4, e2, e6, o1, o5, o7, o3 = _aan_butterfly(a, jnp)
+    rows = [None] * 8
+    rows[0] = e0
+    rows[4] = e4
+    rows[2] = e2 >> 10
+    rows[6] = e6 >> 10
+    rows[7] = (o1 - o5) >> 10
+    rows[1] = (o1 + o5) >> 10
+    rows[3] = (o7 * 181) >> 17
+    rows[5] = (o3 * 181) >> 17
+    r3 = jnp.stack(rows, axis=1)                     # (8y, 8j, NB)
+    a = [r3[k] for k in range(8)]
+    e0, e4, e2, e6, o1, o5, o7, o3 = _aan_butterfly(a, jnp)
+    f = [None] * 8                                   # f[v]: (8u, NB)
+    f[0] = (e0 + 16) >> 3
+    f[4] = (e4 + 16) >> 3
+    f[2] = (e2 + 16384) >> 13
+    f[6] = (e6 + 16384) >> 13
+    f[7] = (o1 - o5 + 16384) >> 13
+    f[1] = (o1 + o5 + 16384) >> 13
+    f[3] = ((o7 >> 8) * 181 + 8192) >> 12
+    f[5] = ((o3 >> 8) * 181 + 8192) >> 12
+
+    # ---- ISO intra quantization + zigzag ---------------------------------
+    # DC: step 8, rounded; AC: round-half-up(16|F| / 2 qscale W), clamped.
+    qw1 = qw_ref[...]                                # (8v, 8u) = qscale * W
+    dc = jnp.clip((f[0][0:1, :] + 4) >> 3, 0, 255)   # (1, NB)
+    lvl = []
+    for v in range(8):
+        qv = qw1[v][:, None]                         # (8u, 1)
+        num = 16 * jnp.abs(f[v]) + qv
+        den = (2 * qv).astype(jnp.float32)
+        k0 = jnp.maximum(
+            jnp.floor(num.astype(jnp.float32) / den).astype(jnp.int32), 0
+        )
+        q2 = 2 * qv
+        k0 = k0 - (k0 * q2 > num).astype(jnp.int32) \
+                + ((k0 + 1) * q2 <= num).astype(jnp.int32)
+        lvl.append(jnp.sign(f[v]) * jnp.clip(k0, 0, 255))
+
+    zz_rows = [lvl[zr][zc : zc + 1, :] for (zr, zc) in zpos]
+    zz_rows[0] = dc
+    zz = jnp.concatenate(zz_rows, axis=0)            # (64, NB)
+
+    comp = comp_ref[...]
+    pred = _dc_pred_lanes(dc, comp, nb)
+    codes, lens = _emit_slots(zz, pred, comp, tmat_ref[...], nb)
+    code_ref[0] = codes
+    len_ref[0] = lens
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def vlc_from_blocks_tpu(blocks, qw_scaled, interpret: bool = False):
+    """(R, 8, 8, NB) u8 pixel blocks + (8, 8) i32 qscale*W matrix ->
+    ((R, 64, NB) u32 codes, (R, 64, NB) i32 lens).
+
+    Fuses DCT -> quantize -> zigzag -> DC prediction -> VLC emission in
+    one Pallas kernel per slice row."""
+    from ec504_imageencoder_tpu.utils.tables import ZIGZAG_GATHER
+
+    r, s0, s1, nb = blocks.shape
+    assert (s0, s1) == (8, 8)
+    zpos = tuple((int(k) // 8, int(k) % 8) for k in ZIGZAG_GATHER)
+    tmat = jnp.asarray(_tmat_np()).astype(jnp.bfloat16)
+    comp = (jnp.arange(nb, dtype=jnp.int32) % 6).reshape(1, nb)
+    codes, lens = pl.pallas_call(
+        functools.partial(_vlc_blocks_kernel, nb=nb, zpos=zpos),
+        grid=(r,),
+        in_specs=[
+            pl.BlockSpec((1, 8, 8, nb), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(tmat.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 64, nb), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 64, nb), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((r, 64, nb), jnp.uint32),
+            jax.ShapeDtypeStruct((r, 64, nb), jnp.int32),
+        ],
+        interpret=interpret,
+    )(blocks, qw_scaled.astype(jnp.int32), comp, tmat)
+    return codes, lens

@@ -30,12 +30,13 @@ from ec504_imageencoder_tpu.ops.pallas_pack import (
 )
 
 IMPLS = {
-    "fused": lambda c, l, w: pack_words_fused(c, l, w),
-    "fused2w": lambda c, l, w: pack_words_fused2w(c, l, w),
-    "fused4": lambda c, l, w: pack_words_fused4(c, l, w),
-    "pallas3": lambda c, l, w: pack_words_pallas3(c, l, w),
-    "pallas1": lambda c, l, w: pack_words_pallas(c, l, w),
-    "mxu": lambda c, l, w: pack_words_mxu(c, l, w),
+    # fn, minimum max_words the formulation supports (window size)
+    "fused": (lambda c, l, w: pack_words_fused(c, l, w), 640),
+    "fused2w": (lambda c, l, w: pack_words_fused2w(c, l, w), 1152),
+    "fused4": (lambda c, l, w: pack_words_fused4(c, l, w), 640),
+    "pallas3": (lambda c, l, w: pack_words_pallas3(c, l, w), 384),
+    "pallas1": (lambda c, l, w: pack_words_pallas(c, l, w), 192),
+    "mxu": (lambda c, l, w: pack_words_mxu(c, l, w), 0),
 }
 
 
@@ -54,9 +55,11 @@ def _fuzz_case(rng, b, k, dense=False):
 @pytest.mark.parametrize("impl", sorted(IMPLS))
 def test_pack_matches_oracle(impl):
     rng = np.random.default_rng(42)
-    fn = IMPLS[impl]
+    fn, min_words = IMPLS[impl]
     for b, k, mw, dense in [(3, 4096, 1536, False), (2, 2048, 2304, True),
                             (1, 700, 768, False)]:
+        if mw < min_words:
+            continue  # formulation needs a larger output window
         codes, lens = _fuzz_case(rng, b, k, dense)
         ref_w, ref_b = pack_words(codes, lens, mw, xp=np)
         got_w, got_b = fn(jnp.asarray(codes), jnp.asarray(lens), mw)

@@ -83,3 +83,51 @@ def test_fuse_slots_streamwise_preserves_bitstream(rng):
         got = acc << (-total % 8)
         got_bytes = got.to_bytes((total + 7) // 8, "big") if total else b""
         assert got_bytes == bytes(want[i, : (total + 7) // 8])
+
+
+def test_vlc_from_blocks_kernel_matches_reference_chain(rng):
+    """Full-block kernel (DCT+quant+zigzag+pred+VLC in one) vs the staged
+    reference path, in interpret mode."""
+    from ec504_imageencoder_tpu.models.mpeg1 import (
+        _dc_predictors,
+        quality_to_quant,
+    )
+    from ec504_imageencoder_tpu.ops.dct import aan_dct_nb
+    from ec504_imageencoder_tpu.ops.pallas_vlc import vlc_from_blocks_tpu
+    from ec504_imageencoder_tpu.ops.quant import quantize
+    from ec504_imageencoder_tpu.ops.vlc_device import block_streams_correct64
+    from ec504_imageencoder_tpu.utils.tables import ZIGZAG_GATHER
+
+    r, mbw = 2, 2
+    nb = mbw * 6
+    blocks = rng.integers(0, 256, (r, 8, 8, nb), dtype=np.uint8)
+    intra_q, qscale = quality_to_quant(50)
+    qw = (intra_q * qscale).astype(np.int32)
+
+    # reference chain (numpy)
+    f = aan_dct_nb(blocks, np)                       # (r, 8, 8, nb)
+    dc = np.clip((f[:, 0, 0, :] + 4) >> 3, 0, 255)   # (r, nb)
+    num = 16 * np.abs(f) + qw[..., None]
+    mag = num // (2 * qw[..., None])
+    lvl = np.sign(f) * np.clip(mag, 0, 255)
+    zr, zc = ZIGZAG_GATHER // 8, ZIGZAG_GATHER % 8
+    zz = np.stack([lvl[:, zr[k], zc[k], :] for k in range(64)], axis=1)
+    zz[:, 0, :] = dc                                 # (r, 64, nb)
+
+    pred = _dc_predictors(
+        dc.reshape(r, 1, mbw, 6), r, 1, mbw, np
+    ).reshape(r, nb)
+    comp = np.arange(nb) % 6
+    is_luma = np.broadcast_to(comp < 4, (r, nb)).astype(np.int32)
+    mb_first = np.broadcast_to(comp == 0, (r, nb)).astype(np.int32)
+    ref_c, ref_l = block_streams_correct64(
+        zz.transpose(0, 2, 1), pred, is_luma, np, mb_first=mb_first
+    )  # (r, nb, 64)
+
+    got_c, got_l = vlc_from_blocks_tpu(blocks, qw, interpret=True)
+    got_c = np.asarray(got_c).transpose(0, 2, 1)
+    got_l = np.asarray(got_l).transpose(0, 2, 1)
+    assert np.array_equal(got_l, ref_l)
+    m_ref = ref_c & ((1 << np.maximum(ref_l, 0)) - 1).astype(np.uint32)
+    m_got = got_c & ((1 << np.maximum(got_l, 0)) - 1).astype(np.uint32)
+    assert np.array_equal(m_got, m_ref)
