@@ -90,7 +90,9 @@ def measure_tpu_1080p() -> dict:
     _log(f"device: {dev}")
 
     intra_q, qscale = quality_to_quant(QUALITY)
-    max_slice_bytes = 16384
+    # noise frames at q=50 run ~132 kbit/slice; 16384 B (131072 bits) would
+    # silently truncate the largest slices, so give the benchmark headroom
+    max_slice_bytes = 20480
 
     fn = _jitted_correct_pipeline(qscale, max_slice_bytes)
 

@@ -228,10 +228,19 @@ def _tpu_pipeline_from_planes(y, cb, cr, intra_q, qscale, max_slice_bytes):
     )
 
     # one kernel per slice row: DCT + quantize + zigzag + DC prediction +
-    # VLC emission, all in VMEM
+    # VLC emission (+ 4:1 slot fusion), all in VMEM
     qw = (intra_q * qscale).astype(jnp.int32)          # (8,8)
-    codes, lens = vlc_from_blocks_tpu(blocks, qw)
-    v0, v1, v2, v3, flens = fuse_slots_streamwise(codes, lens)
+    if os.environ.get("EC504_KFUSE", "1") == "1":
+        from ec504_imageencoder_tpu.ops.pallas_vlc import (
+            fused_stack_to_stream,
+            vlc_fused_slots_from_blocks_tpu,
+        )
+
+        vstack, flens = vlc_fused_slots_from_blocks_tpu(blocks, qw)
+        v0, v1, v2, v3, flens = fused_stack_to_stream(vstack, flens)
+    else:
+        codes, lens = vlc_from_blocks_tpu(blocks, qw)
+        v0, v1, v2, v3, flens = fuse_slots_streamwise(codes, lens)
     pack_group = int(os.environ.get("EC504_PACK_GROUP", "32"))
     words, nbits = pack_words_fused4_core(
         v0, v1, v2, v3, flens, max_slice_bytes // 4, group=pack_group,

@@ -317,8 +317,8 @@ def _dc_pred_lanes(dc, comp, nb):
     return jnp.where(comp == 0, b3, jnp.where(comp >= 4, b6, b1))
 
 
-def _vlc_blocks_kernel(blk_ref, qw_ref, comp_ref, tmat_ref, code_ref,
-                       len_ref, *, nb: int, zpos: tuple):
+def _vlc_blocks_core(blk_ref, qw_ref, comp_ref, tmat_ref, nb: int,
+                     zpos: tuple):
     from ec504_imageencoder_tpu.ops.dct import _aan_butterfly
 
     x = blk_ref[0].astype(jnp.int32)                 # (8y, 8x, NB)
@@ -371,7 +371,13 @@ def _vlc_blocks_kernel(blk_ref, qw_ref, comp_ref, tmat_ref, code_ref,
 
     comp = comp_ref[...]
     pred = _dc_pred_lanes(dc, comp, nb)
-    codes, lens = _emit_slots(zz, pred, comp, tmat_ref[...], nb)
+    return _emit_slots(zz, pred, comp, tmat_ref[...], nb)
+
+
+def _vlc_blocks_kernel(blk_ref, qw_ref, comp_ref, tmat_ref, code_ref,
+                       len_ref, *, nb: int, zpos: tuple):
+    codes, lens = _vlc_blocks_core(blk_ref, qw_ref, comp_ref, tmat_ref,
+                                   nb, zpos)
     code_ref[0] = codes
     len_ref[0] = lens
 
@@ -411,3 +417,90 @@ def vlc_from_blocks_tpu(blocks, qw_scaled, interpret: bool = False):
         interpret=interpret,
     )(blocks, qw_scaled.astype(jnp.int32), comp, tmat)
     return codes, lens
+
+
+def _fuse4_in_kernel(codes, lens, nb):
+    """In-kernel 4:1 exact slot fusion: (64, NB) -> 4 value words + lens
+    of shape (16, NB).  Same arithmetic as fuse_slots_streamwise.
+
+    Strided sublane extraction via lax.slice (plain __getitem__ stride
+    lowers to a gather, which Mosaic rejects)."""
+    def every2(a, off, rows):
+        return jax.lax.slice(a, (off, 0), (rows, nb), (2, 1))
+
+    c1, c2 = every2(codes, 0, 64), every2(codes, 1, 64)
+    l1, l2 = every2(lens, 0, 64), every2(lens, 1, 64)
+    r = (l2 & 31).astype(jnp.uint32)
+    rc = (jnp.uint32(32) - r) & jnp.uint32(31)
+    hi = jnp.where(l2 > 0, c1 >> rc, jnp.uint32(0))
+    lo = jnp.where(l2 < 32, c1 << r, jnp.uint32(0)) | c2
+    len2 = l1 + l2                                   # (32, NB)
+
+    a_hi, b_hi = every2(hi, 0, 32), every2(hi, 1, 32)
+    a_lo, b_lo = every2(lo, 0, 32), every2(lo, 1, 32)
+    l1b, l2b = every2(len2, 0, 32), every2(len2, 1, 32)
+    q = l2b >> 5
+    r = (l2b & 31).astype(jnp.uint32)
+    rc = (jnp.uint32(32) - r) & jnp.uint32(31)
+    g1 = jnp.where(r > 0, a_hi >> rc, jnp.uint32(0))
+    g2 = (a_hi << r) | jnp.where(r > 0, a_lo >> rc, jnp.uint32(0))
+    g3 = a_lo << r
+    z = jnp.zeros_like(g1)
+    v0 = jnp.where(q == 2, g2, jnp.where(q == 1, g1, z))
+    v1 = jnp.where(q == 2, g3, jnp.where(q == 1, g2, g1))
+    v2 = jnp.where(q == 2, z, jnp.where(q == 1, g3, g2)) | b_hi
+    v3 = jnp.where(q >= 1, z, g3) | b_lo
+    return v0, v1, v2, v3, l1b + l2b                 # (16, NB)
+
+
+def _vlc_blocks_fused_kernel(blk_ref, qw_ref, comp_ref, tmat_ref, v_ref,
+                             fl_ref, *, nb: int, zpos: tuple):
+    codes, lens = _vlc_blocks_core(blk_ref, qw_ref, comp_ref, tmat_ref,
+                                   nb, zpos)
+    v0, v1, v2, v3, flens = _fuse4_in_kernel(codes, lens, nb)
+    v_ref[0] = jnp.concatenate([v0, v1, v2, v3], axis=0)   # (64, NB)
+    fl_ref[0] = flens
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def vlc_fused_slots_from_blocks_tpu(blocks, qw_scaled, interpret: bool = False):
+    """(R, 8, 8, NB) u8 blocks -> 4:1-fused pack slots, still block-lane
+    ordered: (vstack (R, 64, NB) u32 [v0;v1;v2;v3 along slots], flens
+    (R, 16, NB) i32).  Stream-order transposition stays in XLA."""
+    from ec504_imageencoder_tpu.utils.tables import ZIGZAG_GATHER
+
+    r, s0, s1, nb = blocks.shape
+    assert (s0, s1) == (8, 8)
+    zpos = tuple((int(k) // 8, int(k) % 8) for k in ZIGZAG_GATHER)
+    tmat = jnp.asarray(_tmat_np()).astype(jnp.bfloat16)
+    comp = (jnp.arange(nb, dtype=jnp.int32) % 6).reshape(1, nb)
+    vstack, flens = pl.pallas_call(
+        functools.partial(_vlc_blocks_fused_kernel, nb=nb, zpos=zpos),
+        grid=(r,),
+        in_specs=[
+            pl.BlockSpec((1, 8, 8, nb), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(tmat.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 64, nb), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16, nb), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((r, 64, nb), jnp.uint32),
+            jax.ShapeDtypeStruct((r, 16, nb), jnp.int32),
+        ],
+        interpret=interpret,
+    )(blocks, qw_scaled.astype(jnp.int32), comp, tmat)
+    return vstack, flens
+
+
+def fused_stack_to_stream(vstack, flens):
+    """Kernel outputs -> stream-ordered (v0..v3, flens) of shape (R, NB*16)."""
+    r, _, nb = flens.shape
+    w = vstack.transpose(0, 2, 1)                    # (R, NB, 64)
+    vs = [w[..., 16 * i : 16 * (i + 1)].reshape(r, nb * 16) for i in range(4)]
+    fl = flens.transpose(0, 2, 1).reshape(r, nb * 16)
+    return vs[0], vs[1], vs[2], vs[3], fl

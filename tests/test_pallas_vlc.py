@@ -131,3 +131,26 @@ def test_vlc_from_blocks_kernel_matches_reference_chain(rng):
     m_ref = ref_c & ((1 << np.maximum(ref_l, 0)) - 1).astype(np.uint32)
     m_got = got_c & ((1 << np.maximum(got_l, 0)) - 1).astype(np.uint32)
     assert np.array_equal(m_got, m_ref)
+
+
+def test_fused_slot_kernel_matches_staged(rng):
+    """In-kernel 4:1 slot fusion == staged fuse_slots_streamwise."""
+    from ec504_imageencoder_tpu.models.mpeg1 import quality_to_quant
+    from ec504_imageencoder_tpu.ops.pallas_vlc import (
+        fuse_slots_streamwise,
+        fused_stack_to_stream,
+        vlc_from_blocks_tpu,
+        vlc_fused_slots_from_blocks_tpu,
+    )
+
+    r, nb = 2, 12
+    blocks = rng.integers(0, 256, (r, 8, 8, nb), dtype=np.uint8)
+    intra_q, qscale = quality_to_quant(50)
+    qw = (intra_q * qscale).astype(np.int32)
+
+    codes, lens = vlc_from_blocks_tpu(blocks, qw, interpret=True)
+    want = [np.asarray(a) for a in fuse_slots_streamwise(codes, lens)]
+    vstack, flens = vlc_fused_slots_from_blocks_tpu(blocks, qw, interpret=True)
+    got = [np.asarray(a) for a in fused_stack_to_stream(vstack, flens)]
+    for w, g in zip(want, got):
+        assert np.array_equal(w, g)
