@@ -62,7 +62,8 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from ec504_imageencoder_tpu.models.decoder import decode_stream, psnr
 
-    data = open(args.stream, "rb").read()
+    with open(args.stream, "rb") as f:
+        data = f.read()
     frames = decode_stream(data, color_range=args.color_range)
     if not frames:
         print("no pictures found in stream", file=sys.stderr)

@@ -194,6 +194,13 @@ def _tpu_pipeline_from_planes(y, cb, cr, intra_q, qscale, max_slice_bytes):
     the blockize transpose at 1.4 ms); here the big NB=mbw*6 axis stays
     on lanes end to end and the only transposes are one u8 blockize and
     the 4:1-fused slot stream (4x smaller than raw slots).
+
+    NOTE: the EC504_BLOCKIZE_BARRIER / EC504_KFUSE / EC504_PACK_GROUP /
+    EC504_VLC env knobs are read at TRACE time; jit caching means a
+    change after the first call has no effect for the process lifetime.
+    They are debug/bench A-B switches, not runtime config — set them
+    before the first encode (the benchmark matrix spawns fresh
+    processes per variant for exactly this reason).
     """
     import os
 

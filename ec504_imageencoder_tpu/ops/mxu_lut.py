@@ -124,6 +124,35 @@ def _combine_bytes(plane_vals, nbytes, xp):
     return acc
 
 
+def packed_lookup_matrix(values_u32: np.ndarray, value_bits: int,
+                         sub_bits: int = 4, epc: int = 6) -> np.ndarray:
+    """The (epc*n_h*nv, epc*2**sub_bits) f32 byte-plane matrix used by
+    `onehot_lookup_packed` (layout documented there).  Shared with the
+    in-kernel lookup in ops/pallas_vlc.py so the two can't diverge:
+    T[(t*n_h + h)*nv + b, t*sub + l] = byte b of table[h*sub + l]."""
+    m = values_u32.shape[0]
+    sub = 1 << sub_bits
+    n_h = -(-m // sub)
+    nv = (value_bits + 7) // 8
+    assert epc * sub <= 128 and epc * n_h * nv <= 128
+    padded_tbl = np.zeros(n_h * sub, np.uint32)
+    padded_tbl[:m] = values_u32
+    tbl = np.zeros((epc * n_h * nv, epc * sub), np.float32)
+    for t in range(epc):
+        for h in range(n_h):
+            for b in range(nv):
+                tbl[(t * n_h + h) * nv + b, t * sub : (t + 1) * sub] = (
+                    (padded_tbl[h * sub : (h + 1) * sub] >> (8 * b)) & 0xFF
+                )
+    return tbl
+
+
+def ac_packed_table() -> np.ndarray:
+    """(112,) u32 `code | len<<16` rank-compressed AC table (the kernel-
+    side lookup operand; 111 real rows + 1 pad keeps n_h*sub == 112)."""
+    return (AC_RANK_CODE | (AC_RANK_LEN.astype(np.uint32) << 16))[:112]
+
+
 def onehot_lookup_packed(idx, values_u32: np.ndarray, value_bits: int, xp,
                          cols: int = 4096, sub_bits: int = 4, epc: int = 6):
     """Sliced-table one-hot lookup: several elements per MXU column, exact.
@@ -159,19 +188,9 @@ def onehot_lookup_packed(idx, values_u32: np.ndarray, value_bits: int, xp,
     sub = 1 << sub_bits
     n_h = -(-m // sub)
     nv = (value_bits + 7) // 8
-    assert epc * sub <= 128 and epc * n_h * nv <= 128
-    padded_tbl = np.zeros(n_h * sub, np.uint32)
-    padded_tbl[:m] = values_u32
-
-    # T[(t*n_h + h)*nv + b, t*sub + l] = byte b of table[h*sub + l]
-    tbl = np.zeros((epc * n_h * nv, epc * sub), np.float32)
-    for t in range(epc):
-        for h in range(n_h):
-            for b in range(nv):
-                tbl[(t * n_h + h) * nv + b, t * sub : (t + 1) * sub] = (
-                    (padded_tbl[h * sub : (h + 1) * sub] >> (8 * b)) & 0xFF
-                )
-    tmat = jnp.asarray(tbl).astype(jnp.bfloat16)
+    tmat = jnp.asarray(
+        packed_lookup_matrix(values_u32, value_bits, sub_bits, epc)
+    ).astype(jnp.bfloat16)
 
     shape = idx.shape
     flat = idx.reshape(-1).astype(jnp.int32)
@@ -281,8 +300,7 @@ def ac_table_lookup(ri, al, xp, compat: bool = False):
         k = al - xp.where(ri == 0, 2, 1)
     valid = (ri <= 31) & (k >= 0) & (k < count)
     rank = xp.clip(base + k, 0, 111)  # 111 real rows; keeps n_h*sub == 112
-    packed_tbl = (AC_RANK_CODE | (AC_RANK_LEN.astype(np.uint32) << 16))[:112]
-    vals = onehot_lookup_packed(rank, packed_tbl, 21, xp)
+    vals = onehot_lookup_packed(rank, ac_packed_table(), 21, xp)
     code = vals & xp.uint32(0xFFFF)
     length = (vals >> 16).astype(xp.int32)
     code = xp.where(valid, code, xp.uint32(0))

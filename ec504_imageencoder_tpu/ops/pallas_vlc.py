@@ -31,7 +31,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ec504_imageencoder_tpu.ops.mxu_lut import AC_RANK_CODE, AC_RANK_LEN
+from ec504_imageencoder_tpu.ops.mxu_lut import (
+    ac_packed_table,
+    packed_lookup_matrix,
+    rank_base,
+    rank_count,
+)
 from ec504_imageencoder_tpu.utils import tables
 
 SUB_BITS = 4
@@ -44,18 +49,9 @@ GROUPS = 11              # ceil(66 / EPC) slot groups per lookup
 
 @functools.lru_cache(maxsize=None)
 def _tmat_np() -> np.ndarray:
-    """(EPC*N_H*NV, EPC*SUB) packed lookup matrix (see mxu_lut)."""
-    packed = (AC_RANK_CODE | (AC_RANK_LEN.astype(np.uint32) << 16))[:112]
-    padded = np.zeros(N_H * SUB, np.uint32)
-    padded[: packed.shape[0]] = packed
-    t = np.zeros((EPC * N_H * NV, EPC * SUB), np.float32)
-    for e in range(EPC):
-        for h in range(N_H):
-            for b in range(NV):
-                t[(e * N_H + h) * NV + b, e * SUB : (e + 1) * SUB] = (
-                    (padded[h * SUB : (h + 1) * SUB] >> (8 * b)) & 0xFF
-                )
-    return t
+    """(EPC*N_H*NV, EPC*SUB) packed lookup matrix (shared with mxu_lut's
+    onehot_lookup_packed so the kernel copy can't diverge)."""
+    return packed_lookup_matrix(ac_packed_table(), 21, SUB_BITS, EPC)
 
 
 # DC size tables as python tuples for in-kernel select chains (9 sizes)
@@ -63,20 +59,6 @@ _DC_LUMA = [(int(tables.DC_SIZE_LUMA_CODE[i]), int(tables.DC_SIZE_LUMA_LEN[i]))
             for i in range(9)]
 _DC_CHROMA = [(int(tables.DC_SIZE_CHROMA_CODE[i]), int(tables.DC_SIZE_CHROMA_LEN[i]))
               for i in range(9)]
-
-
-def _rank_base(ri):
-    b = jnp.where(ri <= 16, 2 * ri + 61, ri + 78)
-    for v, val in [(6, 72), (5, 69), (4, 66), (3, 62), (2, 57), (1, 39), (0, 0)]:
-        b = jnp.where(ri == v, val, b)
-    return b
-
-
-def _rank_count(ri):
-    c = jnp.where(ri <= 16, 2, 1)
-    for v, val in [(6, 3), (5, 3), (4, 3), (3, 4), (2, 5), (1, 18), (0, 39)]:
-        c = jnp.where(ri == v, val, c)
-    return c
 
 
 def _emit_slots(zz, pred, comp, tmat, nb: int):
@@ -107,9 +89,9 @@ def _emit_slots(zz, pred, comp, tmat, nb: int):
     ri = zb
     ric = jnp.clip(ri, 0, 31)
     k_off = al - jnp.where(ri == 0, 2, 1)
-    count = _rank_count(ric)
+    count = rank_count(ric, jnp)
     valid = (ri <= 31) & (k_off >= 0) & (k_off < count)
-    rank = jnp.clip(_rank_base(ric) + k_off, 0, 111)
+    rank = jnp.clip(rank_base(ric, jnp) + k_off, 0, 111)
 
     # in-kernel packed one-hot lookup: 11 groups of 6 slots
     rank_p = jnp.concatenate(
@@ -423,22 +405,29 @@ def _fuse4_in_kernel(codes, lens, nb):
     """In-kernel 4:1 exact slot fusion: (64, NB) -> 4 value words + lens
     of shape (16, NB).  Same arithmetic as fuse_slots_streamwise.
 
-    Strided sublane extraction via lax.slice (plain __getitem__ stride
-    lowers to a gather, which Mosaic rejects)."""
-    def every2(a, off, rows):
-        return jax.lax.slice(a, (off, 0), (rows, nb), (2, 1))
+    Mosaic has no strided sublane extraction (neither gather nor
+    stride>1 `vector.extract_strided_slice`), so the even/odd operand
+    stacks are assembled from unit-row slices — and assembled in an
+    order (slots ≡0 mod 4 first, then ≡2 mod 4) chosen so the SECOND
+    fusion level only needs contiguous half slices."""
+    order_a = [4 * k for k in range(16)] + [4 * k + 2 for k in range(16)]
 
-    c1, c2 = every2(codes, 0, 64), every2(codes, 1, 64)
-    l1, l2 = every2(lens, 0, 64), every2(lens, 1, 64)
+    def gather_rows(a, off):
+        return jnp.concatenate([a[i + off : i + off + 1, :] for i in order_a],
+                               axis=0)
+
+    c1, c2 = gather_rows(codes, 0), gather_rows(codes, 1)
+    l1, l2 = gather_rows(lens, 0), gather_rows(lens, 1)
     r = (l2 & 31).astype(jnp.uint32)
     rc = (jnp.uint32(32) - r) & jnp.uint32(31)
     hi = jnp.where(l2 > 0, c1 >> rc, jnp.uint32(0))
     lo = jnp.where(l2 < 32, c1 << r, jnp.uint32(0)) | c2
     len2 = l1 + l2                                   # (32, NB)
 
-    a_hi, b_hi = every2(hi, 0, 32), every2(hi, 1, 32)
-    a_lo, b_lo = every2(lo, 0, 32), every2(lo, 1, 32)
-    l1b, l2b = every2(len2, 0, 32), every2(len2, 1, 32)
+    # rows 0..15 = pairs (4k, 4k+1); rows 16..31 = pairs (4k+2, 4k+3)
+    a_hi, b_hi = hi[:16], hi[16:]
+    a_lo, b_lo = lo[:16], lo[16:]
+    l1b, l2b = len2[:16], len2[16:]
     q = l2b >> 5
     r = (l2b & 31).astype(jnp.uint32)
     rc = (jnp.uint32(32) - r) & jnp.uint32(31)
