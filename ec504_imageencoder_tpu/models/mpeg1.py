@@ -225,13 +225,19 @@ def _tpu_pipeline_from_planes(y, cb, cr, intra_q, qscale, max_slice_bytes):
         # order (1.4 ms vs one sequential pass + one tiled transpose)
         y, cb, cr = jax.lax.optimization_barrier((y, cb, cr))
 
-    # blockize straight into (B, mbh, 8y, 8x, NB) u8
-    lg = y.reshape(bsz, mbh, 2, 8, mbw, 2, 8)
-    luma = lg.transpose(0, 1, 3, 6, 4, 2, 5).reshape(bsz, mbh, 8, 8, mbw, 4)
-    cbb = cb.reshape(bsz, mbh, 8, mbw, 8).transpose(0, 1, 2, 4, 3)[..., None]
-    crb = cr.reshape(bsz, mbh, 8, mbw, 8).transpose(0, 1, 2, 4, 3)[..., None]
+    # blockize straight into the kernels' (B*mbh, 64, NB) u8 px-major row
+    # layout (row = px*8 + py): 64 sublanes are u8-tile-exact, where the
+    # old (..., 8, 8, NB) layout padded its 8-sublane tile to 32 (4x HBM)
+    lg = y.reshape(bsz, mbh, 2, 8, mbw, 2, 8)        # [b,my,y2,py,mx,x2,px]
+    luma = lg.transpose(0, 1, 6, 3, 4, 2, 5).reshape(bsz, mbh, 64, mbw, 4)
+    cbb = cb.reshape(bsz, mbh, 8, mbw, 8).transpose(0, 1, 4, 2, 3).reshape(
+        bsz, mbh, 64, mbw, 1
+    )
+    crb = cr.reshape(bsz, mbh, 8, mbw, 8).transpose(0, 1, 4, 2, 3).reshape(
+        bsz, mbh, 64, mbw, 1
+    )
     blocks = jnp.concatenate([luma, cbb, crb], axis=-1).reshape(
-        bsz * mbh, 8, 8, nb
+        bsz * mbh, 64, nb
     )
 
     # one kernel per slice row: DCT + quantize + zigzag + DC prediction +

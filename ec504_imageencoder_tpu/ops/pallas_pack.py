@@ -771,47 +771,52 @@ def _fused4_kernel(v_ref, ends_ref, lens_ref, tbase_ref, out_ref, *,
     lanes = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
     hi_iota = jax.lax.broadcasted_iota(jnp.int32, (ntile, 1, S), 0)
 
+    # ---- elementwise prep for ALL superchunks of the group at once ------
+    # Per-g (1, S) vector ops use 1/8 of the VPU and serialize against the
+    # MXU; on (group, S) shapes the same ~45-op chain runs 8x wider, so
+    # only the matmul + accumulate remain in the per-g loop.
+    ends = ends_ref[0, :, 0, :]                      # (group, S)
+    lens = lens_ref[0, :, 0, :]
+    off = ends - lens
+    word = off >> 5
+    in_range = word < max_words
+    wclamp = jnp.where(in_range, word, max_words - 1)
+    s = off & 31
+
+    # window alignment: value << (160 - s - len) over 5 words
+    sig = 160 - s - lens
+    q = sig >> 5                                     # 0..5
+    r = (sig & 31).astype(jnp.uint32)
+    rr = (32 - r) & jnp.uint32(31)
+    vm = [
+        jnp.where(in_range, v_ref[0, :, i, :].astype(jnp.uint32), jnp.uint32(0))
+        for i in range(4)
+    ]
+    u = [jnp.zeros_like(vm[0])] + vm                 # U[0]=0, U[1..4]=v0..v3
+    f = []
+    for i in range(5):
+        nxt = u[i + 1] if i + 1 <= 4 else jnp.zeros_like(u[0])
+        f.append((u[i] << r) | jnp.where(r > 0, nxt >> rr, jnp.uint32(0)))
+    w = []
+    for j in range(5):
+        acc = jnp.zeros_like(f[0])
+        for qq in range(6):
+            if j + qq <= 4:
+                acc = jnp.where(q == qq, f[j + qq], acc)
+        w.append(acc)
+
+    planes = [
+        jax.lax.shift_right_logical(wj, jnp.uint32(8 * i)) & jnp.uint32(0xFF)
+        for wj in w for i in range(4)
+    ]
+    vals_all = jnp.stack(
+        [p.astype(jnp.int32).astype(jnp.bfloat16) for p in planes], axis=0
+    )                                                # (20, group, S)
+
     for g in range(group):
-        v = v_ref[0, g]                              # (4, S) i32 value words
-        ends = ends_ref[0, g, 0, :]
-        lens = lens_ref[0, g, 0, :]
         tb = tbase_ref[0, 0, c * group + g] * 128
-
-        off = ends - lens
-        word = off >> 5
-        in_range = word < max_words
-        lw = jnp.where(in_range, word, max_words - 1) - tb
-        s = off & 31
-
-        # window alignment: value << (160 - s - len) over 5 words
-        sig = 160 - s - lens
-        q = sig >> 5                                 # 0..5
-        r = (sig & 31).astype(jnp.uint32)
-        rr = (32 - r) & jnp.uint32(31)
-        vm = [
-            jnp.where(in_range, v[i].astype(jnp.uint32), jnp.uint32(0))
-            for i in range(4)
-        ]
-        u = [jnp.zeros_like(vm[0])] + vm             # U[0]=0, U[1..4]=v0..v3
-        f = []
-        for i in range(5):
-            nxt = u[i + 1] if i + 1 <= 4 else jnp.zeros_like(u[0])
-            f.append((u[i] << r) | jnp.where(r > 0, nxt >> rr, jnp.uint32(0)))
-        w = []
-        for j in range(5):
-            acc = jnp.zeros_like(f[0])
-            for qq in range(6):
-                if j + qq <= 4:
-                    acc = jnp.where(q == qq, f[j + qq], acc)
-            w.append(acc)
-
-        planes = [
-            jax.lax.shift_right_logical(wj, jnp.uint32(8 * i)) & jnp.uint32(0xFF)
-            for wj in w for i in range(4)
-        ]
-        vals = jnp.stack(
-            [p.astype(jnp.int32).astype(jnp.bfloat16) for p in planes], axis=0
-        )                                            # (20, S)
+        lw = wclamp[g] - tb
+        vals = vals_all[:, g, :]                     # (20, S)
 
         hi = lw >> 7
         lo = lw & 127
@@ -878,6 +883,14 @@ def pack_words_fused4_core(v0, v1, v2, v3, flens, max_words: int, S: int = 128,
     assert ntile * 20 <= 128, "byte-plane rows exceed one MXU tile"
     assert max_words % 128 == 0 and max_words >= window
     *batch, kf0 = flens.shape
+    # pick the largest group <= requested that divides the superchunk
+    # count: at the 1080p shape (90 superchunks/slice) group=32 pads 6.7%
+    # of pure waste onto a matmul-bound kernel, group=30 pads nothing
+    nsc0 = -(-kf0 // S)
+    g_eff = max((g for g in range(1, min(group, nsc0) + 1) if nsc0 % g == 0),
+                default=1)
+    if g_eff >= group // 2:
+        group = g_eff
     pad = (-kf0) % (S * group)
     if pad:
         zu = jnp.zeros(tuple(batch) + (pad,), jnp.uint32)

@@ -299,14 +299,23 @@ def _dc_pred_lanes(dc, comp, nb):
     return jnp.where(comp == 0, b3, jnp.where(comp >= 4, b6, b1))
 
 
+def blocks_to_px64(blocks):
+    """(R, 8y, 8x, NB) pixel blocks -> the kernels' (R, 64, NB) px-major
+    row layout (row = px*8 + py).  A (..., 8, 8, NB) u8 tensor pads its
+    8-sublane tile to 32 in HBM (4x traffic); 64 rows are tile-exact."""
+    r, s0, s1, nb = blocks.shape
+    assert (s0, s1) == (8, 8)
+    return blocks.transpose(0, 2, 1, 3).reshape(r, 64, nb)
+
+
 def _vlc_blocks_core(blk_ref, qw_ref, comp_ref, tmat_ref, nb: int,
                      zpos: tuple):
     from ec504_imageencoder_tpu.ops.dct import _aan_butterfly
 
-    x = blk_ref[0].astype(jnp.int32)                 # (8y, 8x, NB)
+    x = blk_ref[0].astype(jnp.int32)                 # (64, NB), row=px*8+py
 
     # ---- AAN forward DCT (bit-identical to ops.dct.aan_dct) -------------
-    a = [x[:, k, :] for k in range(8)]
+    a = [x[8 * k : 8 * (k + 1), :] for k in range(8)]
     e0, e4, e2, e6, o1, o5, o7, o3 = _aan_butterfly(a, jnp)
     rows = [None] * 8
     rows[0] = e0
@@ -366,15 +375,15 @@ def _vlc_blocks_kernel(blk_ref, qw_ref, comp_ref, tmat_ref, code_ref,
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def vlc_from_blocks_tpu(blocks, qw_scaled, interpret: bool = False):
-    """(R, 8, 8, NB) u8 pixel blocks + (8, 8) i32 qscale*W matrix ->
-    ((R, 64, NB) u32 codes, (R, 64, NB) i32 lens).
+    """(R, 64, NB) u8 px-major pixel blocks (see blocks_to_px64) + (8, 8)
+    i32 qscale*W matrix -> ((R, 64, NB) u32 codes, (R, 64, NB) i32 lens).
 
     Fuses DCT -> quantize -> zigzag -> DC prediction -> VLC emission in
     one Pallas kernel per slice row."""
     from ec504_imageencoder_tpu.utils.tables import ZIGZAG_GATHER
 
-    r, s0, s1, nb = blocks.shape
-    assert (s0, s1) == (8, 8)
+    r, s0, nb = blocks.shape
+    assert s0 == 64
     zpos = tuple((int(k) // 8, int(k) % 8) for k in ZIGZAG_GATHER)
     tmat = jnp.asarray(_tmat_np()).astype(jnp.bfloat16)
     comp = (jnp.arange(nb, dtype=jnp.int32) % 6).reshape(1, nb)
@@ -382,7 +391,7 @@ def vlc_from_blocks_tpu(blocks, qw_scaled, interpret: bool = False):
         functools.partial(_vlc_blocks_kernel, nb=nb, zpos=zpos),
         grid=(r,),
         in_specs=[
-            pl.BlockSpec((1, 8, 8, nb), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, 64, nb), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nb), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -453,13 +462,14 @@ def _vlc_blocks_fused_kernel(blk_ref, qw_ref, comp_ref, tmat_ref, v_ref,
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def vlc_fused_slots_from_blocks_tpu(blocks, qw_scaled, interpret: bool = False):
-    """(R, 8, 8, NB) u8 blocks -> 4:1-fused pack slots, still block-lane
-    ordered: (vstack (R, 64, NB) u32 [v0;v1;v2;v3 along slots], flens
-    (R, 16, NB) i32).  Stream-order transposition stays in XLA."""
+    """(R, 64, NB) u8 px-major blocks (see blocks_to_px64) -> 4:1-fused
+    pack slots, still block-lane ordered: (vstack (R, 64, NB) u32
+    [v0;v1;v2;v3 along slots], flens (R, 16, NB) i32).  Stream-order
+    transposition stays in XLA."""
     from ec504_imageencoder_tpu.utils.tables import ZIGZAG_GATHER
 
-    r, s0, s1, nb = blocks.shape
-    assert (s0, s1) == (8, 8)
+    r, s0, nb = blocks.shape
+    assert s0 == 64
     zpos = tuple((int(k) // 8, int(k) % 8) for k in ZIGZAG_GATHER)
     tmat = jnp.asarray(_tmat_np()).astype(jnp.bfloat16)
     comp = (jnp.arange(nb, dtype=jnp.int32) % 6).reshape(1, nb)
@@ -467,7 +477,7 @@ def vlc_fused_slots_from_blocks_tpu(blocks, qw_scaled, interpret: bool = False):
         functools.partial(_vlc_blocks_fused_kernel, nb=nb, zpos=zpos),
         grid=(r,),
         in_specs=[
-            pl.BlockSpec((1, 8, 8, nb), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, 64, nb), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nb), lambda i: (0, 0), memory_space=pltpu.VMEM),

@@ -19,7 +19,8 @@ if "xla_force_host_platform_device_count" not in flags:
 # lazily, after the XLA_FLAGS above).
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("EC504_TPU_TESTS", "") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 

@@ -93,7 +93,10 @@ def test_vlc_from_blocks_kernel_matches_reference_chain(rng):
         quality_to_quant,
     )
     from ec504_imageencoder_tpu.ops.dct import aan_dct_nb
-    from ec504_imageencoder_tpu.ops.pallas_vlc import vlc_from_blocks_tpu
+    from ec504_imageencoder_tpu.ops.pallas_vlc import (
+        blocks_to_px64,
+        vlc_from_blocks_tpu,
+    )
     from ec504_imageencoder_tpu.ops.quant import quantize
     from ec504_imageencoder_tpu.ops.vlc_device import block_streams_correct64
     from ec504_imageencoder_tpu.utils.tables import ZIGZAG_GATHER
@@ -124,7 +127,8 @@ def test_vlc_from_blocks_kernel_matches_reference_chain(rng):
         zz.transpose(0, 2, 1), pred, is_luma, np, mb_first=mb_first
     )  # (r, nb, 64)
 
-    got_c, got_l = vlc_from_blocks_tpu(blocks, qw, interpret=True)
+    got_c, got_l = vlc_from_blocks_tpu(blocks_to_px64(blocks), qw,
+                                       interpret=True)
     got_c = np.asarray(got_c).transpose(0, 2, 1)
     got_l = np.asarray(got_l).transpose(0, 2, 1)
     assert np.array_equal(got_l, ref_l)
@@ -137,6 +141,7 @@ def test_fused_slot_kernel_matches_staged(rng):
     """In-kernel 4:1 slot fusion == staged fuse_slots_streamwise."""
     from ec504_imageencoder_tpu.models.mpeg1 import quality_to_quant
     from ec504_imageencoder_tpu.ops.pallas_vlc import (
+        blocks_to_px64,
         fuse_slots_streamwise,
         fused_stack_to_stream,
         vlc_from_blocks_tpu,
@@ -144,7 +149,7 @@ def test_fused_slot_kernel_matches_staged(rng):
     )
 
     r, nb = 2, 12
-    blocks = rng.integers(0, 256, (r, 8, 8, nb), dtype=np.uint8)
+    blocks = blocks_to_px64(rng.integers(0, 256, (r, 8, 8, nb), dtype=np.uint8))
     intra_q, qscale = quality_to_quant(50)
     qw = (intra_q * qscale).astype(np.int32)
 
