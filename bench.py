@@ -173,7 +173,8 @@ def main() -> None:
         # chip must degrade the number, not zero the round.  The knobs
         # are trace-time, so fall back by re-execing with a simpler
         # pipeline variant selected.
-        chain = {"": ("kfuse0", {"EC504_KFUSE": "0"}),
+        chain = {"": ("noBE", {"EC504_PACK_BE": "0"}),
+                 "noBE": ("kfuse0", {"EC504_KFUSE": "0"}),
                  "kfuse0": ("generic", {"EC504_VLC": "generic"})}
         nxt = chain.get(os.environ.get("EC504_BENCH_FALLBACK", ""))
         if nxt is None:

@@ -195,8 +195,9 @@ def _tpu_pipeline_from_planes(y, cb, cr, intra_q, qscale, max_slice_bytes):
     on lanes end to end and the only transposes are one u8 blockize and
     the 4:1-fused slot stream (4x smaller than raw slots).
 
-    NOTE: the EC504_BLOCKIZE_BARRIER / EC504_KFUSE / EC504_PACK_GROUP /
-    EC504_VLC env knobs are read at TRACE time; jit caching means a
+    NOTE: the EC504_BLOCKIZE_BARRIER / EC504_KFUSE / EC504_FUSE /
+    EC504_PACK_GROUP / EC504_VLC env knobs are read at TRACE time; jit
+    caching means a
     change after the first call has no effect for the process lifetime.
     They are debug/bench A-B switches, not runtime config — set them
     before the first encode (the benchmark matrix spawns fresh
@@ -241,9 +242,31 @@ def _tpu_pipeline_from_planes(y, cb, cr, intra_q, qscale, max_slice_bytes):
     )
 
     # one kernel per slice row: DCT + quantize + zigzag + DC prediction +
-    # VLC emission (+ 4:1 slot fusion), all in VMEM
+    # VLC emission (+ slot fusion), all in VMEM
     qw = (intra_q * qscale).astype(jnp.int32)          # (8,8)
-    if os.environ.get("EC504_KFUSE", "1") == "1":
+    kfuse = os.environ.get("EC504_KFUSE", "1") == "1"
+    # EC504_FUSE=8 selects the 8:1 experiment (measured SLOWER: 14.4 ms
+    # vs 10.0 ms at 4x1080p — S=32 superchunks waste 3/4 of the lanes,
+    # see pallas_pack.py v6 notes); production default is 4:1 + in-kernel
+    # byte-plane combine (EC504_PACK_BE=1).
+    fuse8 = kfuse and os.environ.get("EC504_FUSE", "4") == "8"
+    if fuse8:
+        from ec504_imageencoder_tpu.ops.bitpack import words_be_to_bytes
+        from ec504_imageencoder_tpu.ops.pallas_pack import pack_words_fused8_core
+        from ec504_imageencoder_tpu.ops.pallas_vlc import (
+            fused8_stack_to_stream,
+            vlc_fused8_slots_from_blocks_tpu,
+        )
+
+        vstack, flens = vlc_fused8_slots_from_blocks_tpu(blocks, qw)
+        vs, fl = fused8_stack_to_stream(vstack, flens)
+        words, nbits = pack_words_fused8_core(
+            vs, fl, max_slice_bytes // 4, bit_offset=38
+        )
+        seg = words_be_to_bytes(words)
+        return (seg.reshape(bsz, mbh, max_slice_bytes),
+                nbits.reshape(bsz, mbh).astype(jnp.int32))
+    if kfuse:
         from ec504_imageencoder_tpu.ops.pallas_vlc import (
             fused_stack_to_stream,
             vlc_fused_slots_from_blocks_tpu,
@@ -255,11 +278,17 @@ def _tpu_pipeline_from_planes(y, cb, cr, intra_q, qscale, max_slice_bytes):
         codes, lens = vlc_from_blocks_tpu(blocks, qw)
         v0, v1, v2, v3, flens = fuse_slots_streamwise(codes, lens)
     pack_group = int(os.environ.get("EC504_PACK_GROUP", "32"))
+    emit_be = os.environ.get("EC504_PACK_BE", "1") == "1"
     words, nbits = pack_words_fused4_core(
         v0, v1, v2, v3, flens, max_slice_bytes // 4, group=pack_group,
-        bit_offset=38,
+        bit_offset=38, emit_be=emit_be,
     )
-    seg = words_to_bytes(words, xp=jnp)
+    if emit_be:
+        from ec504_imageencoder_tpu.ops.bitpack import words_be_to_bytes
+
+        seg = words_be_to_bytes(words)
+    else:
+        seg = words_to_bytes(words, xp=jnp)
     return (seg.reshape(bsz, mbh, max_slice_bytes),
             nbits.reshape(bsz, mbh).astype(jnp.int32))
 

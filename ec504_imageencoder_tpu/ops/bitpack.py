@@ -169,6 +169,17 @@ def words_to_bytes(words, xp=np):
     return b.reshape(words.shape[:-1] + (words.shape[-1] * 4,))
 
 
+def words_be_to_bytes(words):
+    """Byte-swapped u32 words (pack_words_fused8_core output) -> u8 bytes.
+
+    A pure bitcast: the words already hold the stream's byte order in
+    little-endian lanes.  jnp-only."""
+    import jax
+
+    b = jax.lax.bitcast_convert_type(words, np.uint8)
+    return b.reshape(words.shape[:-1] + (words.shape[-1] * 4,))
+
+
 def pack_bytes(codes, lens, max_bytes: int, xp=np, bit_offset: int = 0):
     """Convenience: pack straight to (..., max_bytes) uint8 + bit lengths."""
     assert max_bytes % 4 == 0

@@ -761,12 +761,19 @@ def pack_words_fused2w(codes, lens, max_words: int, S: int = 512, group: int = 1
 
 
 def _fused4_kernel(v_ref, ends_ref, lens_ref, tbase_ref, out_ref, *,
-                   S: int, ntile: int, group: int, max_words: int):
+                   S: int, ntile: int, group: int, max_words: int,
+                   acc_ref=None, ng: int = 0):
+    """acc_ref=None: emit raw (20, max_words) f32 byte planes (combine in
+    XLA).  acc_ref set (emit_be mode): planes accumulate in VMEM scratch
+    and the last grid step per slice collapses them to byte-swapped u32
+    words in out_ref — no f32 plane HBM round trip, words -> bytes is a
+    bitcast (see the v6 commentary above)."""
     c = pl.program_id(1)
+    plane_ref = out_ref if acc_ref is None else acc_ref
 
     @pl.when(c == 0)
     def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
+        plane_ref[...] = jnp.zeros_like(plane_ref)
 
     lanes = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
     hi_iota = jax.lax.broadcasted_iota(jnp.int32, (ntile, 1, S), 0)
@@ -833,14 +840,37 @@ def _fused4_kernel(v_ref, ends_ref, lens_ref, tbase_ref, out_ref, *,
 
         idx = pl.multiple_of(tb, 128)
         for h in range(ntile):
-            cur = out_ref[0, :, pl.ds(idx + h * 128, 128)]
-            out_ref[0, :, pl.ds(idx + h * 128, 128)] = cur + win[h]
+            cur = plane_ref[0, :, pl.ds(idx + h * 128, 128)]
+            plane_ref[0, :, pl.ds(idx + h * 128, 128)] = cur + win[h]
+
+    if acc_ref is not None:
+        @pl.when(c == ng - 1)
+        def _():
+            b = acc_ref[0].astype(jnp.int32).astype(jnp.uint32)  # (20, mw)
+            wlane = jax.lax.broadcasted_iota(jnp.int32, (1, max_words), 1)
+            words = jnp.zeros((1, max_words), jnp.uint32)
+            for j in range(5):
+                grp = (b[4 * j : 4 * j + 1, :]
+                       | (b[4 * j + 1 : 4 * j + 2, :] << 8)
+                       | (b[4 * j + 2 : 4 * j + 3, :] << 16)
+                       | (b[4 * j + 3 : 4 * j + 4, :] << 24))
+                if j:
+                    grp = jnp.where(
+                        wlane < j, jnp.uint32(0), pltpu.roll(grp, j, 1)
+                    )
+                words = words | grp
+            out_ref[0] = (
+                ((words & jnp.uint32(0xFF)) << 24)
+                | ((words & jnp.uint32(0xFF00)) << 8)
+                | ((words >> 8) & jnp.uint32(0xFF00))
+                | (words >> 24)
+            )
 
 
 @functools.partial(jax.jit, static_argnames=("max_words", "S", "group",
-                                               "bit_offset"))
+                                               "bit_offset", "emit_be"))
 def pack_words_fused4(codes, lens, max_words: int, S: int = 128, group: int = 32,
-                      bit_offset: int = 0):
+                      bit_offset: int = 0, emit_be: bool = False):
     """Same contract as pack_words; 4:1 slot-fused production kernel.
 
     group=32 measured 5.05 ms vs 7.23 ms at group=16 on the 3.2M-fused-slot
@@ -866,18 +896,276 @@ def pack_words_fused4(codes, lens, max_words: int, S: int = 128, group: int = 32
     v0, v1, v2, v3, flens = _fuse2_64(h1, l1, len1, jnp)
     return pack_words_fused4_core(
         v0, v1, v2, v3, flens, max_words, S=S, group=group,
-        bit_offset=bit_offset,
+        bit_offset=bit_offset, emit_be=emit_be,
+    )
+
+
+# ---------------------------------------------------------------------------
+# v6 (pack_words_fused8_core): 8:1 slot fusion + in-kernel final combine.
+#
+# fused4's MXU cost is one column-cycle per fused slot; a third exact
+# fusion level ((<=128b)x2 -> <=256b) halves the slot count again.  An
+# 8-word slot spans <= 9 output words -> 36 byte planes; M = ntile*36
+# must stay <= 128, so ntile = 3 -> window 384 -> S = 32 slots per
+# superchunk (the MXU still streams K = S columns per matmul, and total
+# columns is what matters: kf/2 of fused4's).
+#
+# Negative result worth recording: measured 14.4 ms vs fused4's 10.0 ms
+# on the full 4x1080p pipeline (bit-identical output).  S = 32 puts only
+# 32 of 128 lanes to work in every per-superchunk op (prep, one-hot
+# build, K=32 matmuls), and that 4x lane waste exceeds the 2x column
+# saving; growing S is impossible because ntile*36 must stay <= 128.
+# Kept as a variant (EC504_FUSE=8) and for its in-kernel combine, which
+# pack_words_fused4_core adopted (emit_be=True, the production default).
+#
+# The final byte-plane combine also moves IN-kernel: the f32 plane
+# accumulator lives in VMEM scratch (never hits HBM — fused4 wrote a
+# (20, max_words) f32 block per slice, 20x the words), and the last grid
+# step per slice collapses it to u32 words with the BYTE-SWAPPED (big-
+# endian byte order) value, so words -> bytes is a pure bitcast instead
+# of 4 shift/mask passes.  Exactness: the bit stream partitions output
+# bits across slots, so per-byte contributions are bit-disjoint and every
+# byte-plane sum is <= 255 (f32-exact, and plane shifts can't carry).
+
+
+def _fuse2_128(v, lens, xp):
+    """Fuse adjacent (<=128-bit 4-word value, len<=128) pairs -> 8 words +
+    len<=256.  v: list of 4 (..., 2K) word arrays, most-significant first.
+    Returns (8 word arrays (..., K) msf, lens (..., K))."""
+    a = [_pairs(w, xp)[0] for w in v]
+    b = [_pairs(w, xp)[1] for w in v]
+    l1, l2 = _pairs(lens, xp)
+    q = l2 >> 5                                        # 0..4
+    r = (l2 & 31).astype(xp.uint32)
+    rr = (xp.uint32(32) - r) & xp.uint32(31)
+    u = [xp.zeros_like(a[0])] + a                      # u0 = 0, u1..4 = a0..a3
+    f = []
+    for i in range(5):
+        nxt = u[i + 1] if i + 1 <= 4 else xp.zeros_like(u[0])
+        f.append((u[i] << r) | xp.where(r > 0, nxt >> rr, xp.uint32(0)))
+    w = []
+    for j in range(8):
+        acc = xp.zeros_like(f[0])
+        for qq in range(5):
+            if 0 <= j + qq - 3 <= 4:
+                acc = xp.where(q == qq, f[j + qq - 3], acc)
+        w.append(acc)
+    for j in range(4, 8):
+        w[j] = w[j] | b[j - 4]
+    return w, l1 + l2
+
+
+def _fused8_kernel(v_ref, ends_ref, lens_ref, tbase_ref, out_ref, acc_ref, *,
+                   S: int, ntile: int, group: int, max_words: int, ng: int):
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
+    hi_iota = jax.lax.broadcasted_iota(jnp.int32, (ntile, 1, S), 0)
+
+    # group-wide elementwise prep (see _fused4_kernel)
+    ends = ends_ref[0, :, 0, :]                      # (group, S)
+    lens = lens_ref[0, :, 0, :]
+    off = ends - lens
+    word = off >> 5
+    in_range = word < max_words
+    wclamp = jnp.where(in_range, word, max_words - 1)
+    s = off & 31
+
+    # window alignment: value << (288 - s - len) over 9 words
+    sig = 288 - s - lens
+    q = sig >> 5                                     # 0..9
+    r = (sig & 31).astype(jnp.uint32)
+    rr = (32 - r) & jnp.uint32(31)
+    vm = [
+        jnp.where(in_range, v_ref[0, :, i, :].astype(jnp.uint32), jnp.uint32(0))
+        for i in range(8)
+    ]
+    u = [jnp.zeros_like(vm[0])] + vm                 # U[0]=0, U[1..8]=v0..v7
+    f = []
+    for i in range(9):
+        nxt = u[i + 1] if i + 1 <= 8 else jnp.zeros_like(u[0])
+        f.append((u[i] << r) | jnp.where(r > 0, nxt >> rr, jnp.uint32(0)))
+    w = []
+    for j in range(9):
+        acc = jnp.zeros_like(f[0])
+        for qq in range(10):
+            if j + qq <= 8:
+                acc = jnp.where(q == qq, f[j + qq], acc)
+        w.append(acc)
+
+    planes = [
+        jax.lax.shift_right_logical(wj, jnp.uint32(8 * i)) & jnp.uint32(0xFF)
+        for wj in w for i in range(4)
+    ]
+    vals_all = jnp.stack(
+        [p.astype(jnp.int32).astype(jnp.bfloat16) for p in planes], axis=0
+    )                                                # (36, group, S)
+
+    for g in range(group):
+        tb = tbase_ref[0, 0, c * group + g] * 128
+        lw = wclamp[g] - tb
+        vals = vals_all[:, g, :]                     # (36, S)
+
+        hi = lw >> 7
+        lo = lw & 127
+        oh_hi = (jax.lax.broadcast_in_dim(hi, (ntile, 1, S), (2,)) == hi_iota
+                 ).astype(jnp.bfloat16)
+        vh = (jax.lax.broadcast_in_dim(vals, (ntile, 36, S), (1, 2)) * oh_hi
+              ).reshape(ntile * 36, S)
+        oh_lo = (jax.lax.broadcast_in_dim(lo, (S, 128), (0,)) == lanes
+                 ).astype(jnp.bfloat16)
+        win = jax.lax.dot_general(
+            vh, oh_lo, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(ntile, 36, 128)
+
+        idx = pl.multiple_of(tb, 128)
+        for h in range(ntile):
+            cur = acc_ref[:, pl.ds(idx + h * 128, 128)]
+            acc_ref[:, pl.ds(idx + h * 128, 128)] = cur + win[h]
+
+    # last superchunk group of this slice: collapse byte planes to words.
+    # Bit streams partition output bits across slots, so plane sums are
+    # <= 255 per byte: OR == ADD and no group shift can carry.
+    @pl.when(c == ng - 1)
+    def _():
+        b = acc_ref[...].astype(jnp.int32).astype(jnp.uint32)   # (36, mw)
+        wlane = jax.lax.broadcasted_iota(jnp.int32, (1, max_words), 1)
+        words = jnp.zeros((1, max_words), jnp.uint32)
+        for j in range(9):
+            grp = (b[4 * j : 4 * j + 1, :]
+                   | (b[4 * j + 1 : 4 * j + 2, :] << 8)
+                   | (b[4 * j + 2 : 4 * j + 3, :] << 16)
+                   | (b[4 * j + 3 : 4 * j + 4, :] << 24))
+            if j:
+                # shift right j words: lane rotate + zero the wrap-around
+                # (misaligned lane concatenates crash the Mosaic layout pass)
+                grp = jnp.where(
+                    wlane < j, jnp.uint32(0), pltpu.roll(grp, j, 1)
+                )
+            words = words | grp
+        # byte-swap so words -> bytes is a pure little-endian bitcast
+        out_ref[0] = (
+            ((words & jnp.uint32(0xFF)) << 24)
+            | ((words & jnp.uint32(0xFF00)) << 8)
+            | ((words >> 8) & jnp.uint32(0xFF00))
+            | (words >> 24)
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("max_words", "S", "group",
+                                               "bit_offset", "interpret"))
+def pack_words_fused8_core(v, flens, max_words: int, S: int = 32,
+                           group: int = 36, bit_offset: int = 0,
+                           interpret: bool = False):
+    """Pack pre-fused 8-word slots -> BYTE-SWAPPED u32 words + bit counts.
+
+    v: tuple of 8 (..., KF) uint32 word arrays, most-significant first;
+    flens: (..., KF) int32 bit lengths <= 256.  Output words hold the
+    big-endian byte stream in little-endian u32 lanes: serialize with
+    words_be_to_bytes (a bitcast), not words_to_bytes."""
+    window = 8 * S + 128
+    ntile = window // 128
+    assert ntile * 36 <= 128, "byte-plane rows exceed one MXU tile"
+    assert max_words % 128 == 0 and max_words >= window
+    *batch, kf0 = flens.shape
+    nsc0 = -(-kf0 // S)
+    g_eff = max((g for g in range(1, min(group, nsc0) + 1) if nsc0 % g == 0),
+                default=1)
+    if g_eff >= group // 2:
+        group = g_eff
+    pad = (-kf0) % (S * group)
+    if pad:
+        zu = jnp.zeros(tuple(batch) + (pad,), jnp.uint32)
+        v = tuple(jnp.concatenate([w, zu], axis=-1) for w in v)
+        flens = jnp.concatenate(
+            [flens, jnp.zeros(tuple(batch) + (pad,), jnp.int32)], axis=-1
+        )
+    ends = jnp.cumsum(flens, axis=-1) + bit_offset
+    nbits = ends[..., -1]
+    kf = ends.shape[-1]
+    nsc = kf // S
+
+    first_word = (ends[..., ::S] - flens[..., ::S]) >> 5
+    tile = jnp.minimum(
+        jnp.minimum(first_word, max_words - 1) >> 7, (max_words - window) // 128
+    ).astype(jnp.int32)
+
+    n = int(np.prod(batch)) if batch else 1
+    vwords = jnp.stack(list(v), axis=-2)              # (..., 8, kf)
+    flat_v = vwords.reshape(n, 8, nsc, S).transpose(0, 2, 1, 3).astype(jnp.int32)
+    flat_ends = ends.reshape(n, nsc, 1, S).astype(jnp.int32)
+    flat_lens = flens.reshape(n, nsc, 1, S)
+    flat_tile = tile.reshape(n, 1, nsc)
+
+    ng = nsc // group
+    words = pl.pallas_call(
+        functools.partial(
+            _fused8_kernel, S=S, ntile=ntile, group=group,
+            max_words=max_words, ng=ng,
+        ),
+        grid=(n, ng),
+        in_specs=[
+            pl.BlockSpec((1, group, 8, S), lambda i, c: (i, c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, group, 1, S), lambda i, c: (i, c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, group, 1, S), lambda i, c: (i, c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nsc), lambda i, c: (i, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, max_words), lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, 1, max_words), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((36, max_words), jnp.float32)],
+        interpret=interpret,
+    )(flat_v, flat_ends, flat_lens, flat_tile)
+    return words.reshape(tuple(batch) + (max_words,)), nbits
+
+
+@functools.partial(jax.jit, static_argnames=("max_words", "S", "group",
+                                               "bit_offset", "interpret"))
+def pack_words_fused8(codes, lens, max_words: int, S: int = 32, group: int = 36,
+                      bit_offset: int = 0, interpret: bool = False):
+    """Same contract as pack_words but returns BYTE-SWAPPED words (see
+    pack_words_fused8_core); three exact fusion levels from raw codes."""
+    *batch, k = codes.shape
+    codes = jnp.where(lens > 0, codes.astype(jnp.uint32), jnp.uint32(0))
+    lens = lens.astype(jnp.int32)
+
+    pad = (-k) % (8 * S * group)
+    if pad:
+        codes = jnp.concatenate(
+            [codes, jnp.zeros(tuple(batch) + (pad,), jnp.uint32)], axis=-1
+        )
+        lens = jnp.concatenate(
+            [lens, jnp.zeros(tuple(batch) + (pad,), jnp.int32)], axis=-1
+        )
+    h1, l1, len1 = _fuse2_32(codes, lens, jnp)
+    v0, v1, v2, v3, flens4 = _fuse2_64(h1, l1, len1, jnp)
+    v8, flens8 = _fuse2_128([v0, v1, v2, v3], flens4, jnp)
+    return pack_words_fused8_core(
+        tuple(v8), flens8, max_words, S=S, group=group, bit_offset=bit_offset,
+        interpret=interpret,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("max_words", "S", "group",
-                                               "bit_offset"))
+                                               "bit_offset", "emit_be",
+                                               "interpret"))
 def pack_words_fused4_core(v0, v1, v2, v3, flens, max_words: int, S: int = 128,
-                           group: int = 32, bit_offset: int = 0):
+                           group: int = 32, bit_offset: int = 0,
+                           emit_be: bool = False, interpret: bool = False):
     """Pack pre-fused 4-word slots (the fused Pallas VLC kernel emits
     these directly, skipping the XLA fusion prep).  v0..v3: (..., KF)
     uint32 most-to-least significant words of each right-aligned <=128-bit
-    value; flens: (..., KF) int32 bit lengths <= 128."""
+    value; flens: (..., KF) int32 bit lengths <= 128.
+
+    emit_be=True: the byte-plane combine runs in-kernel (f32 planes stay
+    in VMEM scratch) and the returned words are BYTE-SWAPPED — serialize
+    with bitpack.words_be_to_bytes (a bitcast), not words_to_bytes."""
     window = 4 * S + 128
     ntile = window // 128
     assert ntile * 20 <= 128, "byte-plane rows exceed one MXU tile"
@@ -916,21 +1204,40 @@ def pack_words_fused4_core(v0, v1, v2, v3, flens, max_words: int, S: int = 128,
     flat_tile = tile.reshape(n, 1, nsc)
 
     ng = nsc // group
+    in_specs = [
+        pl.BlockSpec((1, group, 4, S), lambda i, c: (i, c, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, group, 1, S), lambda i, c: (i, c, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, group, 1, S), lambda i, c: (i, c, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, nsc), lambda i, c: (i, 0, 0), memory_space=pltpu.SMEM),
+    ]
+    if emit_be:
+        words = pl.pallas_call(
+            lambda v, e, l, t, o, a: _fused4_kernel(
+                v, e, l, t, o, acc_ref=a, ng=ng,
+                S=S, ntile=ntile, group=group, max_words=max_words,
+            ),
+            grid=(n, ng),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, 1, max_words), lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((n, 1, max_words), jnp.uint32),
+            scratch_shapes=[pltpu.VMEM((1, 20, max_words), jnp.float32)],
+            interpret=interpret,
+        )(flat_v, flat_ends, flat_lens, flat_tile)
+        return words.reshape(tuple(batch) + (max_words,)), nbits
+
     out = pl.pallas_call(
         functools.partial(
             _fused4_kernel, S=S, ntile=ntile, group=group, max_words=max_words
         ),
         grid=(n, ng),
-        in_specs=[
-            pl.BlockSpec((1, group, 4, S), lambda i, c: (i, c, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, group, 1, S), lambda i, c: (i, c, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, group, 1, S), lambda i, c: (i, c, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nsc), lambda i, c: (i, 0, 0), memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, 20, max_words), lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n, 20, max_words), jnp.float32),
+        interpret=interpret,
     )(flat_v, flat_ends, flat_lens, flat_tile)
 
     b = out.astype(jnp.uint32)

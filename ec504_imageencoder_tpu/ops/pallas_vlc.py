@@ -503,3 +503,95 @@ def fused_stack_to_stream(vstack, flens):
     vs = [w[..., 16 * i : 16 * (i + 1)].reshape(r, nb * 16) for i in range(4)]
     fl = flens.transpose(0, 2, 1).reshape(r, nb * 16)
     return vs[0], vs[1], vs[2], vs[3], fl
+
+
+def _fuse8_in_kernel(v0, v1, v2, v3, flens):
+    """Third in-kernel fusion level: 8 slots of <=256 bits per block.
+
+    Inputs are _fuse4_in_kernel outputs ((16, NB) word rows, row k =
+    original slots 4k..4k+3, most-significant word first).  Pairs rows
+    (2k, 2k+1) -> 8 word rows w0..w7 (msf) + lens <= 256.  Even/odd row
+    extraction uses unit-row concats (Mosaic has no strided sublane
+    slicing)."""
+    import jax.numpy as jnp
+
+    def even_odd(x):
+        ev = jnp.concatenate([x[2 * k : 2 * k + 1] for k in range(8)], axis=0)
+        od = jnp.concatenate([x[2 * k + 1 : 2 * k + 2] for k in range(8)], axis=0)
+        return ev, od
+
+    a, b = zip(*(even_odd(v) for v in (v0, v1, v2, v3)))
+    la, lb = even_odd(flens)
+    q = lb >> 5                                      # 0..4
+    r = (lb & 31).astype(jnp.uint32)
+    rr = (jnp.uint32(32) - r) & jnp.uint32(31)
+    u = [jnp.zeros_like(a[0])] + list(a)             # u0 = 0, u1..4 = a0..a3
+    f = []
+    for i in range(5):
+        nxt = u[i + 1] if i + 1 <= 4 else jnp.zeros_like(u[0])
+        f.append((u[i] << r) | jnp.where(r > 0, nxt >> rr, jnp.uint32(0)))
+    w = []
+    for j in range(8):
+        acc = jnp.zeros_like(f[0])
+        for qq in range(5):
+            if 0 <= j + qq - 3 <= 4:
+                acc = jnp.where(q == qq, f[j + qq - 3], acc)
+        w.append(acc)
+    for j in range(4, 8):
+        w[j] = w[j] | b[j - 4]
+    return w, la + lb                                # 8x (8, NB), (8, NB)
+
+
+def _vlc_blocks_fused8_kernel(blk_ref, qw_ref, comp_ref, tmat_ref, v_ref,
+                              fl_ref, *, nb: int, zpos: tuple):
+    codes, lens = _vlc_blocks_core(blk_ref, qw_ref, comp_ref, tmat_ref,
+                                   nb, zpos)
+    v0, v1, v2, v3, flens4 = _fuse4_in_kernel(codes, lens, nb)
+    w, flens = _fuse8_in_kernel(v0, v1, v2, v3, flens4)
+    v_ref[0] = jnp.concatenate(w, axis=0)            # (64, NB)
+    fl_ref[0] = flens
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def vlc_fused8_slots_from_blocks_tpu(blocks, qw_scaled, interpret: bool = False):
+    """(R, 64, NB) u8 px-major blocks -> 8:1-fused pack slots, block-lane
+    ordered: (vstack (R, 64, NB) u32 [w0;..;w7 along slots], flens
+    (R, 8, NB) i32 <= 256)."""
+    from ec504_imageencoder_tpu.utils.tables import ZIGZAG_GATHER
+
+    r, s0, nb = blocks.shape
+    assert s0 == 64
+    zpos = tuple((int(k) // 8, int(k) % 8) for k in ZIGZAG_GATHER)
+    tmat = jnp.asarray(_tmat_np()).astype(jnp.bfloat16)
+    comp = (jnp.arange(nb, dtype=jnp.int32) % 6).reshape(1, nb)
+    vstack, flens = pl.pallas_call(
+        functools.partial(_vlc_blocks_fused8_kernel, nb=nb, zpos=zpos),
+        grid=(r,),
+        in_specs=[
+            pl.BlockSpec((1, 64, nb), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(tmat.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 64, nb), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, nb), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((r, 64, nb), jnp.uint32),
+            jax.ShapeDtypeStruct((r, 8, nb), jnp.int32),
+        ],
+        interpret=interpret,
+    )(blocks, qw_scaled.astype(jnp.int32), comp, tmat)
+    return vstack, flens
+
+
+def fused8_stack_to_stream(vstack, flens):
+    """8:1 kernel outputs -> stream-ordered 8-word slots: tuple of 8
+    (R, NB*8) u32 arrays (msf) + (R, NB*8) i32 lens."""
+    r, _, nb = flens.shape
+    w = vstack.transpose(0, 2, 1)                    # (R, NB, 64)
+    vs = tuple(w[..., 8 * i : 8 * (i + 1)].reshape(r, nb * 8) for i in range(8))
+    fl = flens.transpose(0, 2, 1).reshape(r, nb * 8)
+    return vs, fl

@@ -25,15 +25,31 @@ from ec504_imageencoder_tpu.ops.pallas_pack import (
     pack_words_fused,
     pack_words_fused2w,
     pack_words_fused4,
+    pack_words_fused8,
     pack_words_pallas,
     pack_words_pallas3,
 )
+
+
+def _unswap8(fn):
+    """pack_words_fused8 emits byte-swapped words; normalize for the oracle."""
+
+    def run(c, l, w, **kw):
+        words, nbits = fn(c, l, w, **kw)
+        return (
+            ((words & 0xFF) << 24) | ((words & 0xFF00) << 8)
+            | ((words >> 8) & 0xFF00) | (words >> 24)
+        ), nbits
+
+    return run
+
 
 IMPLS = {
     # fn, minimum max_words the formulation supports (window size)
     "fused": (lambda c, l, w: pack_words_fused(c, l, w), 640),
     "fused2w": (lambda c, l, w: pack_words_fused2w(c, l, w), 1152),
     "fused4": (lambda c, l, w: pack_words_fused4(c, l, w), 640),
+    "fused8": (_unswap8(pack_words_fused8), 384),
     "pallas3": (lambda c, l, w: pack_words_pallas3(c, l, w), 384),
     "pallas1": (lambda c, l, w: pack_words_pallas(c, l, w), 192),
     "mxu": (lambda c, l, w: pack_words_mxu(c, l, w), 0),
@@ -71,6 +87,7 @@ OFFSET_IMPLS = {
     "fused": lambda c, l, w: pack_words_fused(c, l, w, bit_offset=38),
     "fused2w": lambda c, l, w: pack_words_fused2w(c, l, w, bit_offset=38),
     "fused4": lambda c, l, w: pack_words_fused4(c, l, w, bit_offset=38),
+    "fused8": lambda c, l, w: _unswap8(pack_words_fused8)(c, l, w, bit_offset=38),
     "pallas3": lambda c, l, w: pack_words_pallas3(c, l, w, bit_offset=38),
     "pallas1": lambda c, l, w: pack_words_pallas(c, l, w, bit_offset=38),
     "mxu": lambda c, l, w: pack_words_mxu(c, l, w, bit_offset=38),

@@ -137,6 +137,51 @@ def test_vlc_from_blocks_kernel_matches_reference_chain(rng):
     assert np.array_equal(m_got, m_ref)
 
 
+def test_fused8_slot_kernel_preserves_bitstream(rng):
+    """In-kernel 8:1 slot fusion reconstructs the same bit stream as the
+    4:1 staged path (bigint reconstruction, both in interpret mode)."""
+    from ec504_imageencoder_tpu.models.mpeg1 import quality_to_quant
+    from ec504_imageencoder_tpu.ops.pallas_vlc import (
+        blocks_to_px64,
+        fuse_slots_streamwise,
+        fused8_stack_to_stream,
+        vlc_from_blocks_tpu,
+        vlc_fused8_slots_from_blocks_tpu,
+    )
+
+    r, nb = 2, 18
+    blocks = blocks_to_px64(rng.integers(0, 256, (r, 8, 8, nb), dtype=np.uint8))
+    intra_q, qscale = quality_to_quant(50)
+    qw = (intra_q * qscale).astype(np.int32)
+
+    codes, lens = vlc_from_blocks_tpu(blocks, qw, interpret=True)
+    v0, v1, v2, v3, fl4 = [np.asarray(a) for a in
+                           fuse_slots_streamwise(codes, lens)]
+    vstack, flens = vlc_fused8_slots_from_blocks_tpu(blocks, qw, interpret=True)
+    vs, fl8 = fused8_stack_to_stream(vstack, flens)
+    vs = [np.asarray(a) for a in vs]
+    fl8 = np.asarray(fl8)
+
+    for i in range(r):
+        acc4, t4 = 0, 0
+        for f in range(fl4.shape[1]):
+            val = ((int(v0[i, f]) << 96) | (int(v1[i, f]) << 64)
+                   | (int(v2[i, f]) << 32) | int(v3[i, f]))
+            ln = int(fl4[i, f])
+            acc4 = (acc4 << ln) | val
+            t4 += ln
+        acc8, t8 = 0, 0
+        for f in range(fl8.shape[1]):
+            val = 0
+            for k in range(8):
+                val = (val << 32) | int(vs[k][i, f])
+            ln = int(fl8[i, f])
+            assert ln == 0 or val < (1 << ln)
+            acc8 = (acc8 << ln) | val
+            t8 += ln
+        assert (t4, acc4) == (t8, acc8)
+
+
 def test_fused_slot_kernel_matches_staged(rng):
     """In-kernel 4:1 slot fusion == staged fuse_slots_streamwise."""
     from ec504_imageencoder_tpu.models.mpeg1 import quality_to_quant
