@@ -278,10 +278,11 @@ def _tpu_pipeline_from_planes(y, cb, cr, intra_q, qscale, max_slice_bytes):
         codes, lens = vlc_from_blocks_tpu(blocks, qw)
         v0, v1, v2, v3, flens = fuse_slots_streamwise(codes, lens)
     pack_group = int(os.environ.get("EC504_PACK_GROUP", "32"))
+    pack_s = int(os.environ.get("EC504_PACK_S", "128"))
     emit_be = os.environ.get("EC504_PACK_BE", "1") == "1"
     words, nbits = pack_words_fused4_core(
-        v0, v1, v2, v3, flens, max_slice_bytes // 4, group=pack_group,
-        bit_offset=38, emit_be=emit_be,
+        v0, v1, v2, v3, flens, max_slice_bytes // 4, S=pack_s,
+        group=pack_group, bit_offset=38, emit_be=emit_be,
     )
     if emit_be:
         from ec504_imageencoder_tpu.ops.bitpack import words_be_to_bytes
