@@ -196,12 +196,14 @@ def _tpu_pipeline_from_planes(y, cb, cr, intra_q, qscale, max_slice_bytes):
     the 4:1-fused slot stream (4x smaller than raw slots).
 
     NOTE: the EC504_BLOCKIZE_BARRIER / EC504_KFUSE / EC504_FUSE /
-    EC504_PACK_GROUP / EC504_VLC env knobs are read at TRACE time; jit
-    caching means a
-    change after the first call has no effect for the process lifetime.
-    They are debug/bench A-B switches, not runtime config — set them
-    before the first encode (the benchmark matrix spawns fresh
-    processes per variant for exactly this reason).
+    EC504_PACK_GROUP / EC504_PACK_S / EC504_PACK_BE / EC504_VLC env
+    knobs are read at TRACE time; jit caching means a change after the
+    first call has no effect for the process lifetime.  EC504_PACK_BE
+    additionally selects which serialization helper the traced program
+    uses (words_be_to_bytes vs words_to_bytes), so a mid-process flip
+    would be doubly wrong.  They are debug/bench A-B switches, not
+    runtime config — set them before the first encode (the benchmark
+    matrix spawns fresh processes per variant for exactly this reason).
     """
     import os
 

@@ -1,9 +1,11 @@
 """Interpret-mode exactness tests for the newest Pallas pack kernels.
 
-test_pallas_tpu.py covers every pack formulation on real TPU hardware,
-which CI (CPU-pinned conftest) never runs; these interpret-mode cases
-keep the emit_be combine and the 8:1 fusion level under test on CPU.
-Small shapes — the Pallas interpreter is slow.
+These interpret-mode cases keep the emit_be combine and the 8:1 fusion
+level under test on CPU, but interpret mode does NOT prove Mosaic
+lowering on real hardware (commit 2a061c5 fixed a kernel that passed
+interpret and failed on the chip) — the authoritative suite is
+test_pallas_tpu.py (incl. its fused4be entries), run on the chip with
+`EC504_TPU_TESTS=1`.  Small shapes — the Pallas interpreter is slow.
 """
 
 import numpy as np

@@ -32,7 +32,8 @@ from ec504_imageencoder_tpu.ops.pallas_pack import (
 
 
 def _unswap8(fn):
-    """pack_words_fused8 emits byte-swapped words; normalize for the oracle."""
+    """Byte-swapped-word emitters (fused8, fused4 emit_be); normalize for
+    the oracle."""
 
     def run(c, l, w, **kw):
         words, nbits = fn(c, l, w, **kw)
@@ -44,11 +45,17 @@ def _unswap8(fn):
     return run
 
 
+def _fused4be(c, l, w, **kw):
+    return pack_words_fused4(c, l, w, emit_be=True, **kw)
+
+
 IMPLS = {
     # fn, minimum max_words the formulation supports (window size)
     "fused": (lambda c, l, w: pack_words_fused(c, l, w), 640),
     "fused2w": (lambda c, l, w: pack_words_fused2w(c, l, w), 1152),
     "fused4": (lambda c, l, w: pack_words_fused4(c, l, w), 640),
+    # production default (EC504_PACK_BE=1): in-kernel byte-plane combine
+    "fused4be": (_unswap8(_fused4be), 640),
     "fused8": (_unswap8(pack_words_fused8), 384),
     "pallas3": (lambda c, l, w: pack_words_pallas3(c, l, w), 384),
     "pallas1": (lambda c, l, w: pack_words_pallas(c, l, w), 192),
@@ -87,6 +94,7 @@ OFFSET_IMPLS = {
     "fused": lambda c, l, w: pack_words_fused(c, l, w, bit_offset=38),
     "fused2w": lambda c, l, w: pack_words_fused2w(c, l, w, bit_offset=38),
     "fused4": lambda c, l, w: pack_words_fused4(c, l, w, bit_offset=38),
+    "fused4be": lambda c, l, w: _unswap8(_fused4be)(c, l, w, bit_offset=38),
     "fused8": lambda c, l, w: _unswap8(pack_words_fused8)(c, l, w, bit_offset=38),
     "pallas3": lambda c, l, w: pack_words_pallas3(c, l, w, bit_offset=38),
     "pallas1": lambda c, l, w: pack_words_pallas(c, l, w, bit_offset=38),
