@@ -24,12 +24,32 @@ from ec504_imageencoder_tpu.ops.dct import dct_matrix_f32
 from ec504_imageencoder_tpu.utils import tables
 
 
+class StreamError(ValueError):
+    """Base class for malformed-bitstream errors (subclasses ValueError so
+    pre-existing callers catching ValueError keep working)."""
+
+
+class TruncatedStreamError(StreamError):
+    """The stream ended mid-structure (e.g. a cut-off file)."""
+
+
+class CorruptStreamError(StreamError):
+    """The stream is syntactically invalid (bad VLC prefix, bad marker,
+    out-of-range coefficient index, headers out of order)."""
+
+
 class BitReader:
     def __init__(self, data: bytes):
         self.data = data
+        self.nbits = 8 * len(data)
         self.pos = 0  # bit position
 
     def read(self, n: int) -> int:
+        if self.pos + n > self.nbits:
+            raise TruncatedStreamError(
+                f"stream truncated: need {n} bits at bit {self.pos}, "
+                f"stream has {self.nbits}"
+            )
         v = 0
         for _ in range(n):
             byte = self.data[self.pos >> 3]
@@ -74,7 +94,7 @@ def _prefix_decoder(pairs):
             bits += str(r.read(1))
             if bits in table:
                 return table[bits]
-        raise ValueError(f"invalid VLC prefix {bits!r} at bit {r.pos}")
+        raise CorruptStreamError(f"invalid VLC prefix {bits!r} at bit {r.pos}")
 
     return decode
 
@@ -121,7 +141,8 @@ def _read_sequence_header(r: BitReader) -> SequenceInfo:
     aspect = r.read(4)
     rate = r.read(4)
     r.read(18)  # bitrate
-    assert r.read(1) == 1, "marker bit"
+    if r.read(1) != 1:
+        raise CorruptStreamError("sequence header marker bit is zero")
     r.read(10)  # vbv
     r.read(1)   # constrained
     if r.read(1):  # load_intra_quantizer_matrix
@@ -168,7 +189,7 @@ def _decode_block(r: BitReader, is_luma: bool, dc_pred: int, intra_q: np.ndarray
                 level = -level
         idx += run + 1
         if idx > 63:
-            raise ValueError(f"AC index overflow at bit {r.pos}")
+            raise CorruptStreamError(f"AC index overflow at bit {r.pos}")
         # ZIGZAG_GATHER[k] = flat block index of scan position k
         zr, zc = divmod(int(tables.ZIGZAG_GATHER[idx]), 8)
         # reconstruction per ISO 11172-2 §2.4.4.2 (intra): truncating
@@ -223,11 +244,17 @@ def decode_es(data: bytes, color_range: str = "studio") -> list[np.ndarray]:
         elif code == 0xB8:
             r.read(32)  # timecode etc.
         elif code == 0x00:
+            if seq is None:
+                raise CorruptStreamError(
+                    "picture header before any sequence header"
+                )
             flush()
             r.read(10)  # temporal ref
             ptype = r.read(3)
             if ptype != 1:
-                raise ValueError(f"only I pictures supported, got {ptype}")
+                raise CorruptStreamError(
+                    f"only I pictures supported, got picture type {ptype}"
+                )
             r.read(16)  # vbv_delay
             mbw = (seq.width + 15) // 16
             mbh = (seq.height + 15) // 16
@@ -240,7 +267,16 @@ def decode_es(data: bytes, color_range: str = "studio") -> list[np.ndarray]:
             flush()
             break
         elif 0x01 <= code <= 0xAF:
+            if cur is None:
+                raise CorruptStreamError(
+                    "slice start code before any picture header"
+                )
             row = code - 1
+            if row >= (seq.height + 15) // 16:
+                raise CorruptStreamError(
+                    f"slice vertical position {row + 1} beyond the "
+                    f"{seq.height}-px-high picture"
+                )
             qscale = r.read(5)
             while r.read(1):
                 r.read(8)  # extra slice info
@@ -259,7 +295,10 @@ def decode_es(data: bytes, color_range: str = "studio") -> list[np.ndarray]:
                 col = mb_addr % mbw
                 # macroblock_type for I: '1' = intra, '01' = intra+quant
                 if not r.read(1):
-                    assert r.read(1) == 1, "bad macroblock type"
+                    if r.read(1) != 1:
+                        raise CorruptStreamError(
+                            f"bad I-picture macroblock type at bit {r.pos}"
+                        )
                     qscale = r.read(5)
                 for b in range(4):
                     f, dc_y = _decode_block(r, True, dc_y, seq.intra_matrix, qscale)

@@ -52,6 +52,13 @@ FRAME_RATE_CODES = {
 FRAME_RATE_VALUES = {v: k for k, v in FRAME_RATE_CODES.items()}
 
 
+# 12-bit sequence-header fields (ISO 11172-2 §2.4.2.3) bound width and
+# height at 4095; the slice-start-code range 0x01..0xAF further bounds
+# height at 175 macroblock rows in our one-slice-per-row scheme.
+MAX_WIDTH = 4095
+MAX_HEIGHT = 175 * 16  # 2800
+
+
 def quality_to_quant(quality: int) -> tuple[np.ndarray, int]:
     """Map JPEG-style quality in [1,100] to (intra matrix u8, quant_scale).
 
@@ -60,6 +67,16 @@ def quality_to_quant(quality: int) -> tuple[np.ndarray, int]:
     exceeds the 8-bit matrix entry range.  Reconstruction divisor is
     quant_scale * W / 8, so quant_scale == 8 with W == M reproduces the
     same step sizes as compat mode.
+
+    Saturation at extreme low quality: both carriers are hard-capped by
+    the bitstream format — quant_scale at 31 (5-bit field) and matrix
+    entries at 255 (8-bit), so the largest representable step size is
+    31*255/8 ≈ 988.  The JPEG mapping (5000/qf scaling,
+    image_processing.c:327-341) first exceeds that cap below quality 5:
+    at quality <= 4 the largest steps silently clamp to the ~988 ceiling
+    (58 of 64 entries saturated at quality 1) instead of the ever coarser
+    steps the JPEG formula implies.  Quality >= 5 tracks the JPEG mapping
+    to within 0.3% per entry.  Locked by a test.
     """
     m = scale_quantization_matrix(quality).astype(np.int64)
     s = max(1, int(np.ceil(m.max() / 255.0)))
@@ -547,6 +564,15 @@ class MPEG1IntraEncoder:
         if frames.ndim != 4 or frames.shape[-1] != 3 or frames.dtype != np.uint8:
             raise ValueError(f"expected (B,H,W,3) uint8, got {frames.shape} {frames.dtype}")
         disp_h, disp_w = frames.shape[1:3]
+        if disp_w > MAX_WIDTH or disp_h > MAX_HEIGHT:
+            # silently wrapping the 12-bit header fields (mpeg1_enc.c:86-88
+            # truncates through uint8_t in the reference — quirk Q1) would
+            # produce an undecodable stream; refuse instead
+            raise ValueError(
+                f"frame {disp_w}x{disp_h} exceeds MPEG-1 limits "
+                f"({MAX_WIDTH}x{MAX_HEIGHT}: 12-bit sequence-header "
+                "dimensions, slice start codes 0x01..0xAF)"
+            )
         padded = pad_to_macroblocks(frames)
         seg, bits = self._run_pipeline(padded)
         if self.metrics is not None:

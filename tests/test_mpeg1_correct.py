@@ -71,6 +71,39 @@ def test_quality_to_quant_ranges():
         assert 1 <= s <= 31
 
 
+def test_quality_to_quant_low_quality_saturation():
+    """Below quality 5 the 5-bit quant_scale and 8-bit matrix entries clamp
+    (documented in the quality_to_quant docstring): the effective step
+    sizes hit the 31*255/8 ceiling instead of tracking the JPEG mapping;
+    from quality 5 up they track it to within 0.3% per entry."""
+    from ec504_imageencoder_tpu.utils.tables import scale_quantization_matrix
+
+    ceiling = 31 * 255 / 8
+    for q in (1, 2, 3, 4):
+        w, s = quality_to_quant(q)
+        eff = s * w.astype(np.int64) / 8.0
+        target = scale_quantization_matrix(q).astype(np.int64)
+        assert s == 31
+        assert (w == 255).any(), q
+        assert eff.max() == ceiling and target.max() > ceiling, q
+    for q in (5, 8, 25, 60):
+        w, s = quality_to_quant(q)
+        eff = s * w.astype(np.int64) / 8.0
+        target = scale_quantization_matrix(q).astype(np.int64)
+        assert np.abs(eff - target).max() / target.max() < 0.003, q
+
+
+def test_oversized_dimensions_rejected():
+    """12-bit sequence-header fields bound W at 4095; the 0x01..0xAF slice
+    start-code range bounds H at 2800 — instead of wrapping the header
+    fields (the reference's Q1 truncation bug), encode() refuses."""
+    enc = MPEG1IntraEncoder(quality=50, backend="numpy")
+    with pytest.raises(ValueError, match="exceeds MPEG-1 limits"):
+        enc.encode(np.zeros((1, 16, 4096, 3), np.uint8))
+    with pytest.raises(ValueError, match="exceeds MPEG-1 limits"):
+        enc.encode(np.zeros((1, 2816, 16, 3), np.uint8))
+
+
 def test_sequence_header_parse_roundtrip():
     m, _ = quality_to_quant(35)
     hdr = sequence_header_es(1920, 1080, 3, intra_matrix=m)
