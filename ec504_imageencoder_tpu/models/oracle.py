@@ -20,7 +20,7 @@ from ec504_imageencoder_tpu.ops.color import rgb_to_ycbcr_exact
 from ec504_imageencoder_tpu.ops.dct import aan_dct
 from ec504_imageencoder_tpu.ops.quant import quantize
 from ec504_imageencoder_tpu.ops.rle_vlc import compat_block_codes
-from ec504_imageencoder_tpu.ops.zigzag import zigzag_scan
+from ec504_imageencoder_tpu.ops.zigzag import equalize_coefficients, zigzag_scan
 from ec504_imageencoder_tpu.syntax import headers
 from ec504_imageencoder_tpu.syntax.bitwriter import BitWriter
 from ec504_imageencoder_tpu.utils.tables import scale_quantization_matrix
@@ -44,7 +44,8 @@ def compat_frame_slice_bytes(
     half_stride = width // 2
 
     def emit(block: np.ndarray, is_luma: bool) -> None:
-        zz = zigzag_scan(quantize(aan_dct(block), scaled_q))
+        # equalize is an identity hook by spec (image_processing.c:385-398)
+        zz = equalize_coefficients(zigzag_scan(quantize(aan_dct(block), scaled_q)))
         for code, nbits in compat_block_codes(zz, is_luma):
             w.put(code, nbits)
 

@@ -21,3 +21,17 @@ def zigzag_descan(scanned, xp=np):
     """(..., 64) zigzag order -> (..., 8, 8)."""
     flat = scanned[..., xp.asarray(ZIGZAG_INDEX.reshape(-1))]
     return flat.reshape(*scanned.shape[:-1], 8, 8)
+
+
+def equalize_coefficients(zz, xp=np):
+    """Coefficient post-scan hook — the identity, by specification.
+
+    The reference's equalize_coefficients (image_processing.c:385-398)
+    is an identity copy: its ±1 zero-avoidance adjustment is commented
+    out (:390-395), so the observable spec is a pass-through.  Kept as a
+    named stage for API parity and as the place a future coefficient
+    conditioner would plug in; the device pipelines fold it away (XLA
+    eliminates the no-op) and the oracle calls it explicitly.
+    """
+    del xp
+    return zz
