@@ -114,9 +114,21 @@ def _emit_and_pack_generic(zz, pred, max_slice_bytes, xp):
     slice_lens = lens.reshape(bsz, mbh, mbw * 6 * 64)
     from ec504_imageencoder_tpu.ops.bitpack import pack_bytes_device
 
-    return pack_bytes_device(
+    seg, nbits = pack_bytes_device(
         slice_codes, slice_lens, max_slice_bytes, xp=xp, bit_offset=38
     )
+    import os
+
+    if xp is not np and os.environ.get("EC504_DEBUG_CHECKS", "0") == "1":
+        # same invariant guards as the Pallas kernels' debug mode (see
+        # _tpu_pipeline_from_planes), for the generic/CPU-mesh path
+        bad_len = (slice_lens < 0) | (slice_lens > 30)
+        mask = (xp.uint32(1) << xp.clip(slice_lens, 0, 31).astype(xp.uint32)
+                ) - xp.uint32(1)
+        bad_code = (slice_codes.astype(xp.uint32) & ~mask) != xp.uint32(0)
+        viol = xp.sum((bad_len | bad_code).astype(xp.int32), axis=-1)
+        nbits = xp.where(viol > 0, -viol, nbits)
+    return seg, nbits
 
 
 def _emit_and_pack_tpu(zz, pred, max_slice_bytes):
@@ -213,8 +225,9 @@ def _tpu_pipeline_from_planes(y, cb, cr, intra_q, qscale, max_slice_bytes):
     the 4:1-fused slot stream (4x smaller than raw slots).
 
     NOTE: the EC504_BLOCKIZE_BARRIER / EC504_KFUSE / EC504_FUSE /
-    EC504_PACK_GROUP / EC504_PACK_S / EC504_PACK_BE / EC504_VLC env
-    knobs are read at TRACE time; jit caching means a change after the
+    EC504_PACK_GROUP / EC504_PACK_S / EC504_PACK_BE / EC504_VLC /
+    EC504_DEBUG_CHECKS env knobs are read at TRACE time; jit caching
+    means a change after the
     first call has no effect for the process lifetime.  EC504_PACK_BE
     additionally selects which serialization helper the traced program
     uses (words_be_to_bytes vs words_to_bytes), so a mid-process flip
@@ -285,24 +298,49 @@ def _tpu_pipeline_from_planes(y, cb, cr, intra_q, qscale, max_slice_bytes):
         seg = words_be_to_bytes(words)
         return (seg.reshape(bsz, mbh, max_slice_bytes),
                 nbits.reshape(bsz, mbh).astype(jnp.int32))
+    # EC504_DEBUG_CHECKS=1 (trace-time, like the other knobs): the VLC and
+    # pack kernels run with their in-kernel invariant guards (SURVEY §5
+    # sanitizer analogue) and any violation surfaces as a NEGATED slice
+    # bit count, which _run_pipeline turns into a RuntimeError.
+    debug = os.environ.get("EC504_DEBUG_CHECKS", "0") == "1"
+    kviol = None
     if kfuse:
         from ec504_imageencoder_tpu.ops.pallas_vlc import (
             fused_stack_to_stream,
             vlc_fused_slots_from_blocks_tpu,
         )
 
-        vstack, flens = vlc_fused_slots_from_blocks_tpu(blocks, qw)
+        if debug:
+            vstack, flens, kviol = vlc_fused_slots_from_blocks_tpu(
+                blocks, qw, debug=True
+            )
+        else:
+            vstack, flens = vlc_fused_slots_from_blocks_tpu(blocks, qw)
         v0, v1, v2, v3, flens = fused_stack_to_stream(vstack, flens)
     else:
         codes, lens = vlc_from_blocks_tpu(blocks, qw)
+        if debug:
+            from ec504_imageencoder_tpu.ops.pallas_vlc import slot_violations
+
+            kviol = slot_violations(
+                codes.transpose(1, 0, 2), lens.transpose(1, 0, 2), jnp
+            ).transpose(1, 0, 2)
         v0, v1, v2, v3, flens = fuse_slots_streamwise(codes, lens)
     pack_group = int(os.environ.get("EC504_PACK_GROUP", "32"))
     pack_s = int(os.environ.get("EC504_PACK_S", "128"))
     emit_be = os.environ.get("EC504_PACK_BE", "1") == "1"
-    words, nbits = pack_words_fused4_core(
-        v0, v1, v2, v3, flens, max_slice_bytes // 4, S=pack_s,
-        group=pack_group, bit_offset=38, emit_be=emit_be,
-    )
+    if debug:
+        words, nbits, pviol = pack_words_fused4_core(
+            v0, v1, v2, v3, flens, max_slice_bytes // 4, S=pack_s,
+            group=pack_group, bit_offset=38, emit_be=emit_be, debug=True,
+        )
+        viol = pviol + kviol.sum(axis=(-2, -1))
+        nbits = jnp.where(viol > 0, -viol, nbits)
+    else:
+        words, nbits = pack_words_fused4_core(
+            v0, v1, v2, v3, flens, max_slice_bytes // 4, S=pack_s,
+            group=pack_group, bit_offset=38, emit_be=emit_be,
+        )
     if emit_be:
         from ec504_imageencoder_tpu.ops.bitpack import words_be_to_bytes
 
@@ -544,6 +582,16 @@ class MPEG1IntraEncoder:
             seg, bits = correct_pipeline(
                 padded, self.intra_q, self.qscale, self.max_slice_bytes,
                 xp=np, dct_impl=self.dct_impl, color_range=self.color_range,
+            )
+        if int(bits.min(initial=0)) < 0:
+            # EC504_DEBUG_CHECKS=1: in-kernel guards report violations as
+            # negated slice bit counts (see _tpu_pipeline_from_planes)
+            viol = -bits[bits < 0]
+            raise RuntimeError(
+                f"in-kernel invariant violations in {viol.size} slice(s) "
+                f"({int(viol.sum())} total hits) — VLC slot length/masking "
+                "or pack byte-plane invariant broken; see "
+                "ops.pallas_vlc.slot_violations"
             )
         if int(bits.max(initial=0)) > 8 * self.max_slice_bytes:
             raise OverflowError(

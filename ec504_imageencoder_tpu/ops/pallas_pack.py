@@ -762,18 +762,29 @@ def pack_words_fused2w(codes, lens, max_words: int, S: int = 512, group: int = 1
 
 def _fused4_kernel(v_ref, ends_ref, lens_ref, tbase_ref, out_ref, *,
                    S: int, ntile: int, group: int, max_words: int,
-                   acc_ref=None, ng: int = 0):
+                   acc_ref=None, ng: int = 0, viol_ref=None):
     """acc_ref=None: emit raw (20, max_words) f32 byte planes (combine in
     XLA).  acc_ref set (emit_be mode): planes accumulate in VMEM scratch
     and the last grid step per slice collapses them to byte-swapped u32
     words in out_ref — no f32 plane HBM round trip, words -> bytes is a
-    bitcast (see the v6 commentary above)."""
+    bitcast (see the v6 commentary above).
+
+    viol_ref (debug mode): (1, 128) int32 in-kernel invariant-violation
+    accumulator — counts fused-slot lengths outside [0, 128] (a negative
+    length breaks offset monotonicity, >128 overflows the 5-word window)
+    and, in emit_be mode, byte-plane sums over 255 (bit ranges that were
+    supposed to be disjoint overlapped)."""
     c = pl.program_id(1)
     plane_ref = out_ref if acc_ref is None else acc_ref
 
     @pl.when(c == 0)
     def _():
         plane_ref[...] = jnp.zeros_like(plane_ref)
+
+    if viol_ref is not None:
+        @pl.when(c == 0)
+        def _():
+            viol_ref[...] = jnp.zeros_like(viol_ref)
 
     lanes = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
     hi_iota = jax.lax.broadcasted_iota(jnp.int32, (ntile, 1, S), 0)
@@ -784,6 +795,11 @@ def _fused4_kernel(v_ref, ends_ref, lens_ref, tbase_ref, out_ref, *,
     # only the matmul + accumulate remain in the per-g loop.
     ends = ends_ref[0, :, 0, :]                      # (group, S)
     lens = lens_ref[0, :, 0, :]
+
+    if viol_ref is not None:
+        lane0 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        bad_len = jnp.sum(((lens < 0) | (lens > 128)).astype(jnp.int32))
+        viol_ref[0] = viol_ref[0] + jnp.where(lane0 == 0, bad_len, 0)
     off = ends - lens
     word = off >> 5
     in_range = word < max_words
@@ -846,6 +862,10 @@ def _fused4_kernel(v_ref, ends_ref, lens_ref, tbase_ref, out_ref, *,
     if acc_ref is not None:
         @pl.when(c == ng - 1)
         def _():
+            if viol_ref is not None:
+                lane0 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+                over = jnp.sum((acc_ref[0] > 255.0).astype(jnp.int32))
+                viol_ref[0] = viol_ref[0] + jnp.where(lane0 == 0, over, 0)
             b = acc_ref[0].astype(jnp.int32).astype(jnp.uint32)  # (20, mw)
             wlane = jax.lax.broadcasted_iota(jnp.int32, (1, max_words), 1)
             words = jnp.zeros((1, max_words), jnp.uint32)
@@ -1154,10 +1174,11 @@ def pack_words_fused8(codes, lens, max_words: int, S: int = 32, group: int = 36,
 
 @functools.partial(jax.jit, static_argnames=("max_words", "S", "group",
                                                "bit_offset", "emit_be",
-                                               "interpret"))
+                                               "interpret", "debug"))
 def pack_words_fused4_core(v0, v1, v2, v3, flens, max_words: int, S: int = 128,
                            group: int = 32, bit_offset: int = 0,
-                           emit_be: bool = False, interpret: bool = False):
+                           emit_be: bool = False, interpret: bool = False,
+                           debug: bool = False):
     """Pack pre-fused 4-word slots (the fused Pallas VLC kernel emits
     these directly, skipping the XLA fusion prep).  v0..v3: (..., KF)
     uint32 most-to-least significant words of each right-aligned <=128-bit
@@ -1165,7 +1186,12 @@ def pack_words_fused4_core(v0, v1, v2, v3, flens, max_words: int, S: int = 128,
 
     emit_be=True: the byte-plane combine runs in-kernel (f32 planes stay
     in VMEM scratch) and the returned words are BYTE-SWAPPED — serialize
-    with bitpack.words_be_to_bytes (a bitcast), not words_to_bytes."""
+    with bitpack.words_be_to_bytes (a bitcast), not words_to_bytes.
+
+    debug=True: returns (words, nbits, violations) where violations is a
+    per-batch-row int32 count of in-kernel invariant hits (fused-slot
+    length out of [0, 128]; emit_be: byte-plane sum > 255) — the SURVEY
+    §5 sanitizer analogue, 0 on healthy streams."""
     window = 4 * S + 128
     ntile = window // 128
     assert ntile * 20 <= 128, "byte-plane rows exceed one MXU tile"
@@ -1211,6 +1237,28 @@ def pack_words_fused4_core(v0, v1, v2, v3, flens, max_words: int, S: int = 128,
         pl.BlockSpec((1, 1, nsc), lambda i, c: (i, 0, 0), memory_space=pltpu.SMEM),
     ]
     if emit_be:
+        out_specs = pl.BlockSpec(
+            (1, 1, max_words), lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((n, 1, max_words), jnp.uint32)
+        if debug:
+            vspec = pl.BlockSpec((1, 1, 128), lambda i, c: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+            words, viol = pl.pallas_call(
+                lambda v, e, l, t, o, vr, a: _fused4_kernel(
+                    v, e, l, t, o, acc_ref=a, ng=ng, viol_ref=vr,
+                    S=S, ntile=ntile, group=group, max_words=max_words,
+                ),
+                grid=(n, ng),
+                in_specs=in_specs,
+                out_specs=[out_specs, vspec],
+                out_shape=[out_shape,
+                           jax.ShapeDtypeStruct((n, 1, 128), jnp.int32)],
+                scratch_shapes=[pltpu.VMEM((1, 20, max_words), jnp.float32)],
+                interpret=interpret,
+            )(flat_v, flat_ends, flat_lens, flat_tile)
+            return (words.reshape(tuple(batch) + (max_words,)), nbits,
+                    viol.reshape(n, -1).sum(axis=-1).reshape(tuple(batch)))
         words = pl.pallas_call(
             lambda v, e, l, t, o, a: _fused4_kernel(
                 v, e, l, t, o, acc_ref=a, ng=ng,
@@ -1218,10 +1266,8 @@ def pack_words_fused4_core(v0, v1, v2, v3, flens, max_words: int, S: int = 128,
             ),
             grid=(n, ng),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec(
-                (1, 1, max_words), lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            out_shape=jax.ShapeDtypeStruct((n, 1, max_words), jnp.uint32),
+            out_specs=out_specs,
+            out_shape=out_shape,
             scratch_shapes=[pltpu.VMEM((1, 20, max_words), jnp.float32)],
             interpret=interpret,
         )(flat_v, flat_ends, flat_lens, flat_tile)
@@ -1250,4 +1296,12 @@ def pack_words_fused4_core(v0, v1, v2, v3, flens, max_words: int, S: int = 128,
                 [jnp.zeros((n, j), jnp.uint32), grp[:, :-j]], axis=-1
             )
         words = words + grp                            # bit-disjoint adds
+    if debug:
+        # XLA-combine variant of the same guards the emit_be path runs
+        # in-kernel: byte-plane sums stay <= 255 and lens stay in range
+        viol = (jnp.sum((out > 255.0).astype(jnp.int32), axis=(-2, -1)).reshape(n)
+                + jnp.sum(((flens < 0) | (flens > 128)).astype(jnp.int32),
+                          axis=-1).reshape(n))
+        return (words.reshape(tuple(batch) + (max_words,)), nbits,
+                viol.reshape(tuple(batch)))
     return words.reshape(tuple(batch) + (max_words,)), nbits

@@ -188,30 +188,70 @@ def _emit_slots(zz, pred, comp, tmat, nb: int):
     return codes, lens
 
 
+def slot_violations(codes, lens, xp=jnp):
+    """In-kernel invariant checks for emitted VLC slots (SURVEY §5's
+    sanitizer analogue): per-lane violation counts, 0 when healthy.
+
+    Invariants: every slot length lies in [0, 30] (the longest emission
+    is a 28-bit escape + folded 2-bit EOB at slot 63), and no codeword
+    carries bits above its declared length (a violation would corrupt
+    neighbouring codes in the bit-disjoint pack accumulate).  Works on
+    (slots, lanes) tiles inside a kernel or on whole arrays outside."""
+    bad_len = (lens < 0) | (lens > 30)
+    len_u = xp.clip(lens, 0, 31).astype(xp.uint32)
+    mask = (xp.uint32(1) << len_u) - xp.uint32(1)
+    bad_code = (codes & ~mask) != xp.uint32(0)
+    return xp.sum((bad_len | bad_code).astype(xp.int32), axis=0, keepdims=True)
+
+
 def _vlc_kernel(zz_ref, pred_ref, comp_ref, tmat_ref, code_ref, len_ref, *,
-                nb: int):
+                nb: int, viol_ref=None):
     codes, lens = _emit_slots(
         zz_ref[0], pred_ref[0], comp_ref[...], tmat_ref[...], nb
     )
     code_ref[0] = codes
     len_ref[0] = lens
+    if viol_ref is not None:
+        viol_ref[0] = slot_violations(codes, lens)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def vlc_slots_tpu(zzT, predT, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "debug"))
+def vlc_slots_tpu(zzT, predT, interpret: bool = False, debug: bool = False):
     """(R, 64, NB) i32 zigzag (slot-major) + (R, NB) predictors ->
     ((R, 64, NB) u32 codes, (R, 64, NB) i32 lens).
 
     Block index n within a row is mb*6 + component; component derives
     in-kernel as n % 6 (luma 0-3, chroma 4-5; first-of-MB folds the
     macroblock header).
+
+    debug=True additionally returns (R, 1, NB) in-kernel violation
+    counts (see slot_violations) as a third output.
     """
     r, s, nb = zzT.shape
     assert s == 64
     tmat = jnp.asarray(_tmat_np()).astype(jnp.bfloat16)
     comp = (jnp.arange(nb, dtype=jnp.int32) % 6).reshape(1, nb)
-    codes, lens = pl.pallas_call(
-        functools.partial(_vlc_kernel, nb=nb),
+    out_specs = [
+        pl.BlockSpec((1, 64, nb), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 64, nb), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((r, 64, nb), jnp.uint32),
+        jax.ShapeDtypeStruct((r, 64, nb), jnp.int32),
+    ]
+    if debug:
+        out_specs.append(
+            pl.BlockSpec((1, 1, nb), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((r, 1, nb), jnp.int32))
+
+    def kern(zz_ref, pred_ref, comp_ref, tmat_ref, code_ref, len_ref,
+             *maybe_viol):
+        _vlc_kernel(zz_ref, pred_ref, comp_ref, tmat_ref, code_ref, len_ref,
+                    nb=nb, viol_ref=maybe_viol[0] if maybe_viol else None)
+
+    out = pl.pallas_call(
+        kern,
         grid=(r,),
         in_specs=[
             pl.BlockSpec((1, 64, nb), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -219,18 +259,12 @@ def vlc_slots_tpu(zzT, predT, interpret: bool = False):
             pl.BlockSpec((1, nb), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(tmat.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 64, nb), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 64, nb), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((r, 64, nb), jnp.uint32),
-            jax.ShapeDtypeStruct((r, 64, nb), jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(zzT.astype(jnp.int32), predT.reshape(r, 1, nb).astype(jnp.int32),
       comp, tmat)
-    return codes, lens
+    return tuple(out)
 
 
 def fuse_slots_streamwise(codes, lens):
@@ -309,7 +343,7 @@ def blocks_to_px64(blocks):
 
 
 def _vlc_blocks_core(blk_ref, qw_ref, comp_ref, tmat_ref, nb: int,
-                     zpos: tuple):
+                     zpos: tuple, viol_out: list | None = None):
     from ec504_imageencoder_tpu.ops.dct import _aan_butterfly
 
     x = blk_ref[0].astype(jnp.int32)                 # (64, NB), row=px*8+py
@@ -362,7 +396,22 @@ def _vlc_blocks_core(blk_ref, qw_ref, comp_ref, tmat_ref, nb: int,
 
     comp = comp_ref[...]
     pred = _dc_pred_lanes(dc, comp, nb)
-    return _emit_slots(zz, pred, comp, tmat_ref[...], nb)
+    codes, lens = _emit_slots(zz, pred, comp, tmat_ref[...], nb)
+    if viol_out is None:
+        return codes, lens
+    # numeric guards (debug mode): the f32-division quantizer is exact
+    # only while 16|F| + qW < 2^23 (see ops.quant.exact_div_floor); the
+    # AAN of u8 input stays orders of magnitude below that, so a hit
+    # means in-kernel overflow corruption upstream.
+    fmax = jnp.zeros((1, nb), jnp.int32)
+    for v in range(8):
+        fmax = jnp.maximum(fmax, jnp.max(jnp.abs(f[v]), axis=0, keepdims=True))
+    viol = slot_violations(codes, lens)
+    viol = viol + jnp.sum(
+        (fmax >= (1 << 19)).astype(jnp.int32), axis=0, keepdims=True
+    )
+    viol_out.append(viol)
+    return codes, lens
 
 
 def _vlc_blocks_kernel(blk_ref, qw_ref, comp_ref, tmat_ref, code_ref,
@@ -452,20 +501,27 @@ def _fuse4_in_kernel(codes, lens, nb):
 
 
 def _vlc_blocks_fused_kernel(blk_ref, qw_ref, comp_ref, tmat_ref, v_ref,
-                             fl_ref, *, nb: int, zpos: tuple):
+                             fl_ref, *maybe_viol, nb: int, zpos: tuple):
+    viol_out = [] if maybe_viol else None
     codes, lens = _vlc_blocks_core(blk_ref, qw_ref, comp_ref, tmat_ref,
-                                   nb, zpos)
+                                   nb, zpos, viol_out=viol_out)
     v0, v1, v2, v3, flens = _fuse4_in_kernel(codes, lens, nb)
     v_ref[0] = jnp.concatenate([v0, v1, v2, v3], axis=0)   # (64, NB)
     fl_ref[0] = flens
+    if maybe_viol:
+        maybe_viol[0][0] = viol_out[0]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def vlc_fused_slots_from_blocks_tpu(blocks, qw_scaled, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "debug"))
+def vlc_fused_slots_from_blocks_tpu(blocks, qw_scaled, interpret: bool = False,
+                                    debug: bool = False):
     """(R, 64, NB) u8 px-major blocks (see blocks_to_px64) -> 4:1-fused
     pack slots, still block-lane ordered: (vstack (R, 64, NB) u32
     [v0;v1;v2;v3 along slots], flens (R, 16, NB) i32).  Stream-order
-    transposition stays in XLA."""
+    transposition stays in XLA.
+
+    debug=True appends an (R, 1, NB) in-kernel violation-count output
+    (slot invariants + DCT-magnitude guard, see slot_violations)."""
     from ec504_imageencoder_tpu.utils.tables import ZIGZAG_GATHER
 
     r, s0, nb = blocks.shape
@@ -473,7 +529,20 @@ def vlc_fused_slots_from_blocks_tpu(blocks, qw_scaled, interpret: bool = False):
     zpos = tuple((int(k) // 8, int(k) % 8) for k in ZIGZAG_GATHER)
     tmat = jnp.asarray(_tmat_np()).astype(jnp.bfloat16)
     comp = (jnp.arange(nb, dtype=jnp.int32) % 6).reshape(1, nb)
-    vstack, flens = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((1, 64, nb), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 16, nb), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((r, 64, nb), jnp.uint32),
+        jax.ShapeDtypeStruct((r, 16, nb), jnp.int32),
+    ]
+    if debug:
+        out_specs.append(
+            pl.BlockSpec((1, 1, nb), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((r, 1, nb), jnp.int32))
+    out = pl.pallas_call(
         functools.partial(_vlc_blocks_fused_kernel, nb=nb, zpos=zpos),
         grid=(r,),
         in_specs=[
@@ -483,17 +552,11 @@ def vlc_fused_slots_from_blocks_tpu(blocks, qw_scaled, interpret: bool = False):
             pl.BlockSpec((1, nb), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(tmat.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 64, nb), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 16, nb), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((r, 64, nb), jnp.uint32),
-            jax.ShapeDtypeStruct((r, 16, nb), jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(blocks, qw_scaled.astype(jnp.int32), comp, tmat)
-    return vstack, flens
+    return tuple(out)
 
 
 def fused_stack_to_stream(vstack, flens):
