@@ -61,16 +61,16 @@ _DC_CHROMA = [(int(tables.DC_SIZE_CHROMA_CODE[i]), int(tables.DC_SIZE_CHROMA_LEN
               for i in range(9)]
 
 
-def _emit_slots(zz, pred, comp, tmat, nb: int):
-    """Shared in-kernel slot emission: (64, NB) zigzag levels (slot 0 =
-    absolute DC) + (1, NB) predictors + (1, NB) component indices ->
-    ((64, NB) u32 codes, (64, NB) i32 lens)."""
+def _run_scan(zz, nb: int, force_slot0: bool):
+    """Log-depth sublane scan for AC runs: (64, NB) levels -> (nz mask,
+    zeros_before).  force_slot0 treats slot 0 as always-nonzero (correct
+    mode); compat mode lets the DC participate as a real (non)zero
+    position (block_streams_compat semantics)."""
     slot = jax.lax.broadcasted_iota(jnp.int32, (64, nb), 0)
-
-    # ---- runs: zeros before each slot, slot 0 forced nonzero ------------
     nz = zz != 0
     marked = jnp.where(nz, slot, -1)
-    marked = jnp.where(slot == 0, 0, marked)         # forced variant
+    if force_slot0:
+        marked = jnp.where(slot == 0, 0, marked)
     acc = marked
     for k in (1, 2, 4, 8, 16, 32):
         shifted = jnp.concatenate(
@@ -80,20 +80,13 @@ def _emit_slots(zz, pred, comp, tmat, nb: int):
     prev = jnp.concatenate(
         [jnp.full((1, nb), -1, jnp.int32), acc[:63, :]], axis=0
     )
-    zb = slot - prev - 1                             # true AC run
+    return nz, slot - prev - 1
 
-    # ---- AC codes --------------------------------------------------------
-    sign = zz < 0
-    sbit = sign.astype(jnp.uint32)
-    al = jnp.abs(zz)
-    ri = zb
-    ric = jnp.clip(ri, 0, 31)
-    k_off = al - jnp.where(ri == 0, 2, 1)
-    count = rank_count(ric, jnp)
-    valid = (ri <= 31) & (k_off >= 0) & (k_off < count)
-    rank = jnp.clip(rank_base(ric, jnp) + k_off, 0, 111)
 
-    # in-kernel packed one-hot lookup: 11 groups of 6 slots
+def _rank_lookup(rank, tmat, nb: int):
+    """In-kernel packed one-hot AC-table lookup: (64, NB) i32 ranks ->
+    (64, NB) u32 `code | len<<16` values, 11 groups of 6 ranks per MXU
+    matmul (see ops.mxu_lut.onehot_lookup_packed for the layout)."""
     rank_p = jnp.concatenate(
         [rank, jnp.zeros((GROUPS * EPC - 64, nb), jnp.int32)], axis=0
     )                                                # (66, NB)
@@ -124,7 +117,29 @@ def _emit_slots(zz, pred, comp, tmat, nb: int):
                     byte = jnp.where(ht == h, cand, byte)
                 acc_v = acc_v | (byte << (8 * b))
             tval_rows.append(acc_v)
-    tval = jnp.stack(tval_rows, axis=0)              # (64, NB) u32
+    return jnp.stack(tval_rows, axis=0)              # (64, NB) u32
+
+
+def _emit_slots(zz, pred, comp, tmat, nb: int):
+    """Shared in-kernel slot emission: (64, NB) zigzag levels (slot 0 =
+    absolute DC) + (1, NB) predictors + (1, NB) component indices ->
+    ((64, NB) u32 codes, (64, NB) i32 lens)."""
+    slot = jax.lax.broadcasted_iota(jnp.int32, (64, nb), 0)
+
+    # ---- runs: zeros before each slot, slot 0 forced nonzero ------------
+    nz, zb = _run_scan(zz, nb, force_slot0=True)
+
+    # ---- AC codes --------------------------------------------------------
+    sign = zz < 0
+    sbit = sign.astype(jnp.uint32)
+    al = jnp.abs(zz)
+    ri = zb
+    ric = jnp.clip(ri, 0, 31)
+    k_off = al - jnp.where(ri == 0, 2, 1)
+    count = rank_count(ric, jnp)
+    valid = (ri <= 31) & (k_off >= 0) & (k_off < count)
+    rank = jnp.clip(rank_base(ric, jnp) + k_off, 0, 111)
+    tval = _rank_lookup(rank, tmat, nb)
 
     t_code = ((tval & jnp.uint32(0xFFFF)) << 1) | sbit
     t_len0 = (tval >> 16).astype(jnp.int32)
@@ -342,13 +357,11 @@ def blocks_to_px64(blocks):
     return blocks.transpose(0, 2, 1, 3).reshape(r, 64, nb)
 
 
-def _vlc_blocks_core(blk_ref, qw_ref, comp_ref, tmat_ref, nb: int,
-                     zpos: tuple, viol_out: list | None = None):
+def _aan_f_rows(x):
+    """In-kernel integer AAN forward DCT, bit-identical to ops.dct.aan_dct:
+    (64, NB) px-major pixel rows -> list f[v] of (8u, NB) coefficient rows."""
     from ec504_imageencoder_tpu.ops.dct import _aan_butterfly
 
-    x = blk_ref[0].astype(jnp.int32)                 # (64, NB), row=px*8+py
-
-    # ---- AAN forward DCT (bit-identical to ops.dct.aan_dct) -------------
     a = [x[8 * k : 8 * (k + 1), :] for k in range(8)]
     e0, e4, e2, e6, o1, o5, o7, o3 = _aan_butterfly(a, jnp)
     rows = [None] * 8
@@ -372,6 +385,13 @@ def _vlc_blocks_core(blk_ref, qw_ref, comp_ref, tmat_ref, nb: int,
     f[1] = (o1 + o5 + 16384) >> 13
     f[3] = ((o7 >> 8) * 181 + 8192) >> 12
     f[5] = ((o3 >> 8) * 181 + 8192) >> 12
+    return f
+
+
+def _vlc_blocks_core(blk_ref, qw_ref, comp_ref, tmat_ref, nb: int,
+                     zpos: tuple, viol_out: list | None = None):
+    x = blk_ref[0].astype(jnp.int32)                 # (64, NB), row=px*8+py
+    f = _aan_f_rows(x)
 
     # ---- ISO intra quantization + zigzag ---------------------------------
     # DC: step 8, rounded; AC: round-half-up(16|F| / 2 qscale W), clamped.
@@ -658,3 +678,217 @@ def fused8_stack_to_stream(vstack, flens):
     vs = tuple(w[..., 8 * i : 8 * (i + 1)].reshape(r, nb * 8) for i in range(8))
     fl = flens.transpose(0, 2, 1).reshape(r, nb * 8)
     return vs, fl
+
+
+# ---------------------------------------------------------------------------
+# Compat-mode kernel: the same fused DCT->quant->zigzag->VLC structure,
+# emitting the reference's bug-for-bug bitstream (SURVEY.md §2.9) —
+# absolute DC (Q6 absent), no AC sign bit (Q4), run-0 truncation (Q5),
+# off-by-one AC table indexing — so compat byte-exactness runs through
+# the TPU-native kernel + fused4 pack instead of the generic XLA path.
+# Semantics locked slot-for-slot against ops.vlc_device.block_streams_compat.
+
+
+def _compat_emit_slots(zz, comp, tmat, nb: int):
+    """(64, NB) quantized zigzag (slot 0 = quantized DC) + (1, NB)
+    component indices -> ((64, NB) u32 codes, (64, NB) i32 lens) with the
+    reference's compat emission rules; EOB and the 2-bit MB header are
+    folded exactly like the correct-mode kernel."""
+    slot = jax.lax.broadcasted_iota(jnp.int32, (64, nb), 0)
+
+    # UNFORCED scan: the DC participates as a real (non)zero position
+    # (block_streams_compat semantics — a zero DC absorbs into the first
+    # AC's zeros_before, a nonzero DC makes an adjacent AC "bad")
+    nz, zb = _run_scan(zz, nb, force_slot0=False)
+
+    # Q5 truncation: drop everything from the first nonzero AC whose
+    # zeros_before == 0 onward (inclusive cum-or over the slot axis)
+    bad = (nz & (zb == 0) & (slot > 0)).astype(jnp.int32)
+    acc = bad
+    for k in (1, 2, 4, 8, 16, 32):
+        shifted = jnp.concatenate(
+            [jnp.zeros((k, nb), jnp.int32), acc[: 64 - k, :]], axis=0
+        )
+        acc = jnp.maximum(acc, shifted)
+    emit = nz & (acc == 0) & (slot > 0)
+
+    # ---- AC codes (ac_codes_compat semantics) ---------------------------
+    sign = zz < 0
+    al = jnp.abs(zz)
+    ri = jnp.maximum(zb - 1, 0)
+    ric = jnp.clip(ri, 0, 31)
+    k_off = al - 1                                   # compat off-by-one
+    count = rank_count(ric, jnp)
+    valid = (ri <= 31) & (k_off >= 0) & (k_off < count)
+    rank = jnp.clip(rank_base(ric, jnp) + k_off, 0, 111)
+    tval = _rank_lookup(rank, tmat, nb)
+
+    t_code = tval & jnp.uint32(0xFFFF)               # Q4: no sign bit
+    t_len = jnp.where(valid, (tval >> 16).astype(jnp.int32), 0)
+    special = (ri == 0) & (al == 1)
+    in_table = (~special) & (t_len > 0)
+
+    alc = al.astype(jnp.int32)
+    lo = jnp.where(sign, (256 - alc) & 0xFF, alc & 0xFF).astype(jnp.uint32)
+    hi = jnp.where(sign, jnp.uint32(0x80), jnp.uint32(0x00))
+    base = jnp.uint32(1 << 6) | ri.astype(jnp.uint32)
+    e_code = jnp.where(alc >= 128, (base << 16) | (hi << 8) | lo, (base << 8) | lo)
+    e_len = jnp.where(alc >= 128, jnp.int32(28), jnp.int32(20))
+
+    ac_code = jnp.where(
+        special, jnp.uint32(0b11), jnp.where(in_table, t_code, e_code)
+    )
+    ac_len = jnp.where(special, 2, jnp.where(in_table, t_len, e_len))
+    ac_code = jnp.where(emit, ac_code, jnp.uint32(0))
+    ac_len = jnp.where(emit, ac_len, 0)
+
+    # EOB '10' folds into slot 63 (encode_block_end always runs)
+    ac_code = jnp.where(slot == 63, (ac_code << 2) | jnp.uint32(0b10), ac_code)
+    ac_len = jnp.where(slot == 63, ac_len + 2, ac_len)
+
+    # ---- DC slot: absolute value coding (mpeg1_blk.c:73-95) -------------
+    dcv = zz[0:1, :]                                 # (1, NB) quantized DC
+    dc_nz = dcv != 0
+    adc = jnp.abs(dcv)
+    low = adc & 0xFF
+    sz = jnp.zeros_like(low)
+    for kk in range(8):
+        sz = sz + (low >= (1 << kk)).astype(jnp.int32)
+    sz = jnp.maximum(sz, 1)
+    szu = sz.astype(jnp.uint32)
+    coe = jnp.where(dcv < 0, adc ^ (jnp.int32(1) << (sz - 1)), adc)
+    dc_bits = coe.astype(jnp.uint32) & ((jnp.uint32(1) << szu) - jnp.uint32(1))
+    sz_eff = jnp.where(dc_nz, sz, 0)
+    is_luma = comp < 4
+    size_code = jnp.zeros((1, nb), jnp.uint32)
+    size_len = jnp.zeros((1, nb), jnp.int32)
+    for s_i in range(9):
+        lc, ll = _DC_LUMA[s_i]
+        cc, cl = _DC_CHROMA[s_i]
+        hit = sz_eff == s_i
+        size_code = jnp.where(hit, jnp.where(is_luma, jnp.uint32(lc), jnp.uint32(cc)), size_code)
+        size_len = jnp.where(hit, jnp.where(is_luma, ll, cl), size_len)
+    dc_code = jnp.where(dc_nz, (size_code << szu) | dc_bits, size_code)
+    dc_len = jnp.where(dc_nz, size_len + sz, size_len)
+    mb_first = comp == 0                             # 2-bit MB header fold
+    dc_code = jnp.where(
+        mb_first,
+        (jnp.uint32(0b11) << dc_len.astype(jnp.uint32)) | dc_code,
+        dc_code,
+    )
+    dc_len = dc_len + 2 * mb_first.astype(jnp.int32)
+
+    codes = jnp.where(slot == 0, jnp.broadcast_to(dc_code, (64, nb)), ac_code)
+    lens = jnp.where(slot == 0, jnp.broadcast_to(dc_len, (64, nb)), ac_len)
+    return codes, lens
+
+
+def _vlc_compat_blocks_core(blk_ref, q_ref, comp_ref, tmat_ref, nb: int,
+                            zpos: tuple):
+    x = blk_ref[0].astype(jnp.int32)                 # (64, NB), row=px*8+py
+    f = _aan_f_rows(x)
+
+    # compat quantization: truncating division toward zero by the scaled
+    # JPEG-style matrix (ops.quant.quantize / image_processing.c:349-370),
+    # f32 divide + exact +-1 integer fixup
+    q8 = q_ref[...]                                  # (8v, 8u) scaled_q
+    lvl = []
+    for v in range(8):
+        qv = q8[v][:, None]                          # (8u, 1)
+        a = jnp.abs(f[v])
+        k0 = jnp.maximum(
+            jnp.floor(a.astype(jnp.float32) / qv.astype(jnp.float32)).astype(jnp.int32),
+            0,
+        )
+        k0 = k0 - (k0 * qv > a).astype(jnp.int32) \
+                + ((k0 + 1) * qv <= a).astype(jnp.int32)
+        lvl.append(jnp.sign(f[v]) * k0)
+
+    zz_rows = [lvl[zr][zc : zc + 1, :] for (zr, zc) in zpos]
+    zz = jnp.concatenate(zz_rows, axis=0)            # (64, NB), slot 0 = DC
+
+    return _compat_emit_slots(zz, comp_ref[...], tmat_ref[...], nb)
+
+
+def _vlc_compat_kernel(blk_ref, q_ref, comp_ref, tmat_ref, code_ref, len_ref,
+                       *, nb: int, zpos: tuple):
+    codes, lens = _vlc_compat_blocks_core(blk_ref, q_ref, comp_ref, tmat_ref,
+                                          nb, zpos)
+    code_ref[0] = codes
+    len_ref[0] = lens
+
+
+def _vlc_compat_fused_kernel(blk_ref, q_ref, comp_ref, tmat_ref, v_ref,
+                             fl_ref, *, nb: int, zpos: tuple):
+    codes, lens = _vlc_compat_blocks_core(blk_ref, q_ref, comp_ref, tmat_ref,
+                                          nb, zpos)
+    v0, v1, v2, v3, flens = _fuse4_in_kernel(codes, lens, nb)
+    v_ref[0] = jnp.concatenate([v0, v1, v2, v3], axis=0)   # (64, NB)
+    fl_ref[0] = flens
+
+
+def _compat_call(kernel, blocks, scaled_q, out_specs, out_shape, interpret):
+    from ec504_imageencoder_tpu.utils.tables import ZIGZAG_GATHER
+
+    r, s0, nb = blocks.shape
+    assert s0 == 64
+    zpos = tuple((int(k) // 8, int(k) % 8) for k in ZIGZAG_GATHER)
+    tmat = jnp.asarray(_tmat_np()).astype(jnp.bfloat16)
+    comp = (jnp.arange(nb, dtype=jnp.int32) % 6).reshape(1, nb)
+    return pl.pallas_call(
+        functools.partial(kernel, nb=nb, zpos=zpos),
+        grid=(r,),
+        in_specs=[
+            pl.BlockSpec((1, 64, nb), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(tmat.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(blocks, scaled_q.astype(jnp.int32), comp, tmat)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def vlc_compat_slots_from_blocks_tpu(blocks, scaled_q, interpret: bool = False):
+    """(R, 64, NB) u8 px-major compat pixel blocks + (8, 8) i32 scaled
+    quant matrix -> ((R, 64, NB) u32 codes, (R, 64, NB) i32 lens), raw
+    64-slot layout (EOB + MB header folded).  Interpret-testing entry."""
+    r, _, nb = blocks.shape
+    out = _compat_call(
+        _vlc_compat_kernel, blocks, scaled_q,
+        out_specs=[
+            pl.BlockSpec((1, 64, nb), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 64, nb), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((r, 64, nb), jnp.uint32),
+            jax.ShapeDtypeStruct((r, 64, nb), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+    return tuple(out)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def vlc_compat_fused_slots_from_blocks_tpu(blocks, scaled_q,
+                                           interpret: bool = False):
+    """Compat analogue of vlc_fused_slots_from_blocks_tpu: (R, 64, NB) u8
+    px-major blocks -> 4:1-fused pack slots (vstack (R, 64, NB) u32,
+    flens (R, 16, NB) i32)."""
+    r, _, nb = blocks.shape
+    out = _compat_call(
+        _vlc_compat_fused_kernel, blocks, scaled_q,
+        out_specs=[
+            pl.BlockSpec((1, 64, nb), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16, nb), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((r, 64, nb), jnp.uint32),
+            jax.ShapeDtypeStruct((r, 16, nb), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+    return tuple(out)

@@ -204,3 +204,95 @@ def test_fused_slot_kernel_matches_staged(rng):
     got = [np.asarray(a) for a in fused_stack_to_stream(vstack, flens)]
     for w, g in zip(want, got):
         assert np.array_equal(w, g)
+
+
+def test_compat_kernel_matches_block_streams_compat(rng):
+    """Compat full-block kernel (AAN + truncating quant + zigzag + bug-
+    compatible emission) vs the oracle-locked block_streams_compat chain,
+    with the EOB and MB-header folds applied to the 65-slot oracle."""
+    from ec504_imageencoder_tpu.ops.dct import aan_dct_nb
+    from ec504_imageencoder_tpu.ops.pallas_vlc import (
+        blocks_to_px64,
+        vlc_compat_slots_from_blocks_tpu,
+    )
+    from ec504_imageencoder_tpu.ops.vlc_device import block_streams_compat
+    from ec504_imageencoder_tpu.utils.tables import (
+        ZIGZAG_GATHER,
+        scale_quantization_matrix,
+    )
+
+    r, nmbs = 2, 3
+    nb = nmbs * 6
+    blocks = rng.integers(0, 256, (r, 8, 8, nb), dtype=np.uint8)
+    scaled_q = scale_quantization_matrix(12).astype(np.int32)
+
+    # oracle chain (numpy)
+    f = aan_dct_nb(blocks, np)                       # (r, 8, 8, nb)
+    mag = np.abs(f) // scaled_q[..., None]
+    lvl = np.sign(f) * mag
+    zr, zc = ZIGZAG_GATHER // 8, ZIGZAG_GATHER % 8
+    zz = np.stack([lvl[:, zr[k], zc[k], :] for k in range(64)], axis=1)
+    comp = np.arange(nb) % 6
+    is_luma = np.broadcast_to(comp < 4, (r, nb)).astype(np.int32)
+    c65, l65 = block_streams_compat(zz.transpose(0, 2, 1), is_luma, np)
+
+    # fold EOB (slot 64 -> slot 63) and the 2-bit MB header (comp==0 DC)
+    ref_c = c65[..., :64].astype(np.uint32).copy()
+    ref_l = l65[..., :64].copy()
+    ref_c[..., 63] = (ref_c[..., 63] << 2) | 0b10
+    ref_l[..., 63] += 2
+    first = comp == 0
+    ref_c[:, first, 0] = (np.uint32(0b11) << ref_l[:, first, 0]) | ref_c[:, first, 0]
+    ref_l[:, first, 0] += 2
+
+    got_c, got_l = vlc_compat_slots_from_blocks_tpu(
+        blocks_to_px64(blocks), scaled_q, interpret=True
+    )
+    got_c = np.asarray(got_c).transpose(0, 2, 1)
+    got_l = np.asarray(got_l).transpose(0, 2, 1)
+    assert np.array_equal(got_l, ref_l)
+    m_ref = ref_c & ((1 << np.maximum(ref_l, 0)) - 1).astype(np.uint32)
+    m_got = got_c & ((1 << np.maximum(got_l, 0)) - 1).astype(np.uint32)
+    assert np.array_equal(m_got, m_ref)
+
+
+def test_compat_blockize_matches_block_extraction(rng):
+    """compat_blockize_px64's reshape/transposes produce exactly the
+    blocks the generic compat pipeline extracts (incl. the Q3 chroma
+    half-stride view)."""
+    from ec504_imageencoder_tpu.models.encoder import (
+        CROP_H,
+        CROP_W,
+        N_MBS,
+        N_SLICES,
+        compat_blockize_px64,
+    )
+
+    bsz, h, w = 2, 600, 400
+    y = rng.integers(0, 256, (bsz, h, w), dtype=np.uint8)
+    cb = rng.integers(0, 256, (bsz, h, w), dtype=np.uint8)
+    cr = rng.integers(0, 256, (bsz, h, w), dtype=np.uint8)
+
+    got = compat_blockize_px64(y, cb, cr, np)        # (B*6, 64, 54)
+
+    cb_flat = cb.reshape(bsz, -1)
+    cr_flat = cr.reshape(bsz, -1)
+    half = w // 2
+    for b in range(bsz):
+        for s in range(N_SLICES):
+            for m in range(N_MBS):
+                x0, y0 = s * 16, m * 16
+                for blk in range(4):
+                    xs, ys = x0 + (blk % 2) * 8, y0 + (blk // 2) * 8
+                    want = y[b, ys : ys + 8, xs : xs + 8]
+                    lane = m * 6 + blk
+                    gotb = got[b * N_SLICES + s, :, lane].reshape(8, 8).T
+                    assert np.array_equal(gotb, want), (b, s, m, blk)
+                # chroma: full-res plane, half-width stride (Q3)
+                rows = (y0 // 2 + np.arange(8))[:, None] * half
+                cols = x0 // 2 + np.arange(8)[None, :]
+                idx = rows + cols
+                for ci, flat in ((4, cb_flat), (5, cr_flat)):
+                    want = flat[b][idx]
+                    gotb = got[b * N_SLICES + s, :, m * 6 + ci].reshape(8, 8).T
+                    assert np.array_equal(gotb, want), (b, s, m, ci)
