@@ -151,10 +151,92 @@ def config5_gop_stitch(tmp="/tmp/ec504_bench_gops"):
     }
 
 
+def config6_batch_curve():
+    """fps/chip vs batch size on the device pipeline (device-resident
+    input, same methodology as bench.py: execution forced by fetching)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ec504_imageencoder_tpu.models.mpeg1 import (
+        _jitted_correct_pipeline,
+        quality_to_quant,
+    )
+
+    h, w = 1088, 1920
+    intra_q, qscale = quality_to_quant(50)
+    intra_dev = jax.device_put(intra_q)
+    float(np.asarray(jax.jit(lambda x: x + 1.0)(jnp.float32(1.0))))  # warm
+    fn = _jitted_correct_pipeline(qscale, 20480)
+    points = []
+    for b in (1, 2, 4, 8, 16):
+        def gen(b=b):
+            n = b * h * w * 3
+            i = jax.lax.iota(jnp.uint32, n)
+            x = i * jnp.uint32(2654435761)
+            x = x ^ (x >> 15)
+            x = x * jnp.uint32(2246822519)
+            x = x ^ (x >> 13)
+            return (x & jnp.uint32(0xFF)).astype(jnp.uint8).reshape(b, h, w, 3)
+
+        frames = jax.jit(gen)()
+        sync = lambda o: float(np.asarray(jnp.sum(o[1].astype(jnp.float32))))
+        sync(fn(frames, intra_dev))  # compile
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            sync(fn(frames, intra_dev))
+            best = min(best, time.perf_counter() - t0)
+        points.append({"batch": b, "fps": round(b / best, 1),
+                       "step_ms": round(best * 1e3, 2)})
+    return {"config": "6:1080p-batch-scaling-curve", "points": points}
+
+
+def config7_mesh_scaling():
+    """Mesh-shape sweep on the available device set: fps for (1,1), (8,1),
+    (4,2), (2,4) (data, rows) meshes on a fixed 8x512x512 workload, with
+    bit-identical output asserted across shapes.
+
+    On the CI host the 8 'devices' are XLA virtual CPU devices sharing 2
+    physical cores, so wall-clock cannot scale; the honest figure here is
+    partitioning OVERHEAD (fps_mesh / fps_1dev on constant total work —
+    1.0 means GSPMD added no communication/recompute).  On real multi-chip
+    hardware the same sweep yields scaling efficiency directly
+    (fps_mesh / (n_dev * fps_1dev))."""
+    import jax
+
+    from ec504_imageencoder_tpu.models.mpeg1 import MPEG1IntraEncoder
+    from ec504_imageencoder_tpu.parallel import mesh as mesh_lib
+    from ec504_imageencoder_tpu.parallel.sharded_encoder import ShardedMPEG1Encoder
+
+    nd = len(jax.devices())
+    frames = synthetic(8, 512, 512)
+    base = MPEG1IntraEncoder(quality=50)
+    fps1 = timed_fps(base, frames)
+    golden = base.encode(frames)
+    out = {"config": "7:mesh-shape-sweep", "n_devices": nd,
+           "workload": "8x512x512 q=50", "fps_1dev": round(fps1, 2),
+           "shapes": []}
+    for n_data, n_rows in ((8, 1), (4, 2), (2, 4)):
+        if n_data * n_rows > nd:
+            continue
+        enc = ShardedMPEG1Encoder(
+            quality=50, mesh=mesh_lib.make_mesh(n_data=n_data, n_rows=n_rows)
+        )
+        fps = timed_fps(enc, frames)
+        out["shapes"].append({
+            "mesh": f"({n_data},{n_rows})",
+            "fps": round(fps, 2),
+            "overhead_ratio_vs_1dev": round(fps / fps1, 3),
+            "scaling_efficiency_if_real_chips": round(fps / (nd * fps1), 3),
+            "bytes_match": enc.encode(frames) == golden,
+        })
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
-    ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--configs", default="1,2,3,4,5,6,7")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -162,7 +244,8 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     fns = {"1": config1_compat, "2": config2_quality_sweep,
            "3": config3_row_sharding, "4": config4_frame_parallel,
-           "5": config5_gop_stitch}
+           "5": config5_gop_stitch, "6": config6_batch_curve,
+           "7": config7_mesh_scaling}
     for c in args.configs.split(","):
         try:
             print(json.dumps(fns[c]()), flush=True)
