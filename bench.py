@@ -34,7 +34,10 @@ REF_BUILD = "/tmp/ec504_bench_ref"
 
 W1080, H1080 = 1920, 1080
 PAD_H = 1088  # 1080 padded to MB multiple
-BATCH = int(os.environ.get("EC504_BENCH_BATCH", "4"))
+# batch 16 is the chip's preferred operating point: the 2026-08 batch
+# curve (BENCHMATRIX_r04 config 6) measured 657/683/886/1041 fps at
+# B=1/4/8/16 — the ~15 ms B=16 step amortizes per-step scheduling best
+BATCH = int(os.environ.get("EC504_BENCH_BATCH", "16"))
 QUALITY = 50
 ITERS = int(os.environ.get("EC504_BENCH_ITERS", "5"))
 
@@ -157,7 +160,38 @@ def measure_tpu_1080p() -> dict:
         sync(out)
         times.append(time.perf_counter() - t0)
         _log(f"iter {i + 1}/{ITERS}: {times[-1]:.3f}s")
-    step = max(min(times) - rtt, 1e-6)
+
+    # Sustained throughput: G back-to-back batches inside ONE jitted
+    # program (lax.scan with a data dependency between steps).  This is
+    # the production continuous-encode pattern and the only reliable
+    # timing on this relay tunnel: per-dispatch overhead is 25-36 ms and
+    # VARIES by more than the 5-7 ms step itself, so single-dispatch
+    # minus-RTT numbers are garbage (they have gone negative).  With
+    # G=100 the dispatch overhead is <1% of the program.
+    from ec504_imageencoder_tpu.models.mpeg1 import correct_pipeline
+
+    G = int(os.environ.get("EC504_BENCH_SCAN", "100"))
+
+    def sustained(frames, intra):
+        def body(c, _):
+            seg, bits = correct_pipeline(c, intra, qscale, max_slice_bytes,
+                                         xp=jnp)
+            bump = (bits.sum() & 0xFF).astype(jnp.uint8)
+            return (c + bump).astype(jnp.uint8), bits[0, 0]
+        c, hist = jax.lax.scan(body, frames, None, length=G)
+        return c, hist
+
+    sfn = jax.jit(sustained)
+    sout = sfn(frames_dev, intra_dev)
+    sync((None, sout[1]))  # compile + first run
+    sus_times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        sout = sfn(frames_dev, intra_dev)
+        sync((None, sout[1]))
+        sus_times.append(time.perf_counter() - t0)
+        _log(f"sustained {i + 1}/3: {sus_times[-1]:.3f}s for {G} steps")
+    sus_step = max((min(sus_times) - rtt) / G, 1e-6)
 
     bits = np.asarray(out[1])
     # correct_pipeline itself has no overflow guard (only the encoder API
@@ -169,8 +203,13 @@ def measure_tpu_1080p() -> dict:
     total_bytes = int(((bits + 7) // 8).sum())
     return {
         "device": str(jax.devices()[0]),
-        "fps": BATCH / step,
-        "step_s": step,
+        "fps": BATCH / sus_step,
+        "fps_sustained": BATCH / sus_step,
+        "step_s": sus_step,
+        # raw single-dispatch wall time (includes the 25-36 ms variable
+        # tunnel dispatch+fetch overhead; kept for context, not a metric)
+        "dispatch_iter_min_s": min(times),
+        "scan_len": G,
         "sync_rtt_s": rtt,
         "runtime_warm_s": t_warm,
         # time to jitted on-device frame generation (not an upload -- the

@@ -97,6 +97,18 @@ def test_subsample_420_box_average():
     assert s[0, 0] == (0 + 1 + 4 + 5) // 4
 
 
+def test_subsample_420_jnp_matches_numpy(rng):
+    """The jnp path lowers via lax.reduce_window; it must stay value-
+    identical to the numpy reshape-sum formulation (floor of the 2x2 sum)."""
+    import jax.numpy as jnp
+
+    for shape in ((6, 8), (2, 64, 96), (1, 3, 32, 48)):
+        p = rng.integers(0, 256, shape, dtype=np.uint8)
+        want = color.subsample_420(p, np)
+        got = np.asarray(color.subsample_420(jnp.asarray(p), jnp))
+        assert np.array_equal(want, got), shape
+
+
 def test_aan_idct_roundtrip_quality(rng):
     """Forward AAN then reference-style inverse reconstructs within a small
     error for smooth blocks (the reference inverse is quirky; just sanity)."""
