@@ -277,11 +277,12 @@ def _tpu_pipeline_from_planes(y, cb, cr, intra_q, qscale, max_slice_bytes):
     # VLC emission (+ slot fusion), all in VMEM
     qw = (intra_q * qscale).astype(jnp.int32)          # (8,8)
     kfuse = os.environ.get("EC504_KFUSE", "1") == "1"
-    # EC504_FUSE=8 selects the 8:1 experiment (measured SLOWER: 14.4 ms
-    # vs 10.0 ms at 4x1080p — S=32 superchunks waste 3/4 of the lanes,
-    # see pallas_pack.py v6 notes); production default is 4:1 + in-kernel
-    # byte-plane combine (EC504_PACK_BE=1).
-    fuse8 = kfuse and os.environ.get("EC504_FUSE", "4") == "8"
+    # 8:1 slot fusion is the production default since the B=16 sustained
+    # A/B (2026-08: 14.64 ms vs fused4's 15.27 ms per 16x1080p step;
+    # byte-identical on chip).  At B=4 the ranking was reversed (S=32
+    # superchunks waste lanes, pallas_pack.py v6 notes) — EC504_FUSE=4
+    # restores the 4:1 path for small-batch workloads.
+    fuse8 = kfuse and os.environ.get("EC504_FUSE", "8") == "8"
     if fuse8:
         from ec504_imageencoder_tpu.ops.bitpack import words_be_to_bytes
         from ec504_imageencoder_tpu.ops.pallas_pack import pack_words_fused8_core

@@ -930,13 +930,15 @@ def pack_words_fused4(codes, lens, max_words: int, S: int = 128, group: int = 32
 # superchunk (the MXU still streams K = S columns per matmul, and total
 # columns is what matters: kf/2 of fused4's).
 #
-# Negative result worth recording: measured 14.4 ms vs fused4's 10.0 ms
-# on the full 4x1080p pipeline (bit-identical output).  S = 32 puts only
-# 32 of 128 lanes to work in every per-superchunk op (prep, one-hot
-# build, K=32 matmuls), and that 4x lane waste exceeds the 2x column
-# saving; growing S is impossible because ntile*36 must stay <= 128.
-# Kept as a variant (EC504_FUSE=8) and for its in-kernel combine, which
-# pack_words_fused4_core adopted (emit_be=True, the production default).
+# Batch-dependent result worth recording: at 4x1080p fused8 measured
+# 14.4 ms vs fused4's 10.0 ms (S = 32 puts only 32 of 128 lanes to work
+# in every per-superchunk op, and that lane waste exceeds the 2x column
+# saving; growing S is impossible because ntile*36 must stay <= 128).
+# At 16x1080p the ranking flips — 14.64 ms vs 15.27 ms per sustained
+# step, byte-identical on chip — because the larger grid amortizes the
+# lane-starved prep, so fused8 is the production default (EC504_FUSE=4
+# restores 4:1).  Its in-kernel combine was also adopted by
+# pack_words_fused4_core (emit_be=True).
 #
 # The final byte-plane combine also moves IN-kernel: the f32 plane
 # accumulator lives in VMEM scratch (never hits HBM — fused4 wrote a
