@@ -206,6 +206,11 @@ def measure_tpu_1080p() -> dict:
         "fps": BATCH / sus_step,
         "fps_sustained": BATCH / sus_step,
         "step_s": sus_step,
+        # methodology marker: r1-r3 keyed "fps"/"step_s" to single-dispatch
+        # minus-RTT; since r4 they are the sustained-scan figure (the only
+        # reliable method on this relay tunnel).  Cross-round tooling
+        # should compare like methods only.
+        "method": "sustained_scan",
         # raw single-dispatch wall time (includes the 25-36 ms variable
         # tunnel dispatch+fetch overhead; kept for context, not a metric)
         "dispatch_iter_min_s": min(times),

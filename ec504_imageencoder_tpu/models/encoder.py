@@ -97,20 +97,45 @@ def _compat_tpu_pipeline(y, cb, cr, scaled_q, max_slice_bytes):
 
     from ec504_imageencoder_tpu.ops.pallas_pack import pack_words_fused4_core
     from ec504_imageencoder_tpu.ops.pallas_vlc import (
+        fuse_slots_streamwise,
         fused_stack_to_stream,
         vlc_compat_fused_slots_from_blocks_tpu,
+        vlc_compat_slots_from_blocks_tpu,
     )
 
     bsz = y.shape[0]
     blocks = compat_blockize_px64(y, cb, cr, jnp)
 
-    vstack, flens = vlc_compat_fused_slots_from_blocks_tpu(blocks, scaled_q)
-    v0, v1, v2, v3, fl = fused_stack_to_stream(vstack, flens)
+    # EC504_DEBUG_CHECKS=1 (trace-time knob): run the raw-slot compat
+    # kernel + host-side slot_violations + the pack core's in-kernel
+    # guards, mirroring the correct-mode sanitizer wiring; violations
+    # surface as negated slice bit counts (encode_compat raises).
+    debug = os.environ.get("EC504_DEBUG_CHECKS", "0") == "1"
+    kviol = None
+    if debug:
+        from ec504_imageencoder_tpu.ops.pallas_vlc import slot_violations
+
+        codes, lens = vlc_compat_slots_from_blocks_tpu(blocks, scaled_q)
+        kviol = slot_violations(
+            codes.transpose(1, 0, 2), lens.transpose(1, 0, 2), jnp
+        ).transpose(1, 0, 2)
+        v0, v1, v2, v3, fl = fuse_slots_streamwise(codes, lens)
+    else:
+        vstack, flens = vlc_compat_fused_slots_from_blocks_tpu(blocks, scaled_q)
+        v0, v1, v2, v3, fl = fused_stack_to_stream(vstack, flens)
     emit_be = os.environ.get("EC504_PACK_BE", "1") == "1"
-    words, nbits = pack_words_fused4_core(
-        v0, v1, v2, v3, fl, max_slice_bytes // 4, bit_offset=38,
-        emit_be=emit_be,
-    )
+    if debug:
+        words, nbits, pviol = pack_words_fused4_core(
+            v0, v1, v2, v3, fl, max_slice_bytes // 4, bit_offset=38,
+            emit_be=emit_be, debug=True,
+        )
+        viol = pviol + kviol.sum(axis=(-2, -1))
+        nbits = jnp.where(viol > 0, -viol, nbits)
+    else:
+        words, nbits = pack_words_fused4_core(
+            v0, v1, v2, v3, fl, max_slice_bytes // 4, bit_offset=38,
+            emit_be=emit_be,
+        )
     if emit_be:
         from ec504_imageencoder_tpu.ops.bitpack import words_be_to_bytes
 
@@ -277,6 +302,15 @@ def encode_compat(
         # prefix, bucketed to limit recompiles — host<->device bandwidth is
         # the scarce resource, not device compute
         seg_bits = np.asarray(seg_bits_dev)
+        if int(seg_bits.min(initial=0)) < 0:
+            # EC504_DEBUG_CHECKS=1: in-kernel guards report violations as
+            # negated slice bit counts (see _compat_tpu_pipeline)
+            viol = -seg_bits[seg_bits < 0]
+            raise RuntimeError(
+                f"in-kernel invariant violations in {viol.size} compat "
+                f"slice(s) ({int(viol.sum())} total hits) — VLC slot "
+                "length/masking or pack byte-plane invariant broken"
+            )
         used = int(seg_bits.max(initial=0) + 7) // 8
         bucket = max(256, 1 << (used - 1).bit_length())
         bucket = min(bucket, MAX_SLICE_BYTES_COMPAT)

@@ -277,12 +277,20 @@ def _tpu_pipeline_from_planes(y, cb, cr, intra_q, qscale, max_slice_bytes):
     # VLC emission (+ slot fusion), all in VMEM
     qw = (intra_q * qscale).astype(jnp.int32)          # (8,8)
     kfuse = os.environ.get("EC504_KFUSE", "1") == "1"
+    # EC504_DEBUG_CHECKS=1 (trace-time, like the other knobs): the VLC and
+    # pack kernels run with their in-kernel invariant guards (SURVEY §5
+    # sanitizer analogue) and any violation surfaces as a NEGATED slice
+    # bit count, which _run_pipeline turns into a RuntimeError.  The fused8
+    # kernels carry no guard wiring, so debug mode routes through the
+    # guarded fused4 path below (debug-mode throughput is not the point).
+    debug = os.environ.get("EC504_DEBUG_CHECKS", "0") == "1"
     # 8:1 slot fusion is the production default since the B=16 sustained
     # A/B (2026-08: 14.64 ms vs fused4's 15.27 ms per 16x1080p step;
     # byte-identical on chip).  At B=4 the ranking was reversed (S=32
     # superchunks waste lanes, pallas_pack.py v6 notes) — EC504_FUSE=4
     # restores the 4:1 path for small-batch workloads.
-    fuse8 = kfuse and os.environ.get("EC504_FUSE", "8") == "8"
+    fuse8 = (kfuse and not debug
+             and os.environ.get("EC504_FUSE", "8") == "8")
     if fuse8:
         from ec504_imageencoder_tpu.ops.bitpack import words_be_to_bytes
         from ec504_imageencoder_tpu.ops.pallas_pack import pack_words_fused8_core
@@ -299,11 +307,6 @@ def _tpu_pipeline_from_planes(y, cb, cr, intra_q, qscale, max_slice_bytes):
         seg = words_be_to_bytes(words)
         return (seg.reshape(bsz, mbh, max_slice_bytes),
                 nbits.reshape(bsz, mbh).astype(jnp.int32))
-    # EC504_DEBUG_CHECKS=1 (trace-time, like the other knobs): the VLC and
-    # pack kernels run with their in-kernel invariant guards (SURVEY §5
-    # sanitizer analogue) and any violation surfaces as a NEGATED slice
-    # bit count, which _run_pipeline turns into a RuntimeError.
-    debug = os.environ.get("EC504_DEBUG_CHECKS", "0") == "1"
     kviol = None
     if kfuse:
         from ec504_imageencoder_tpu.ops.pallas_vlc import (
