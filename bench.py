@@ -101,9 +101,12 @@ def measure_tpu_1080p() -> dict:
     _log(f"runtime warm (first compile+fetch) in {t_warm:.1f}s")
 
     intra_q, qscale = quality_to_quant(QUALITY)
-    # noise frames at q=50 run ~132 kbit/slice; 16384 B (131072 bits) would
-    # silently truncate the largest slices, so give the benchmark headroom
-    max_slice_bytes = 20480
+    # the encoder's own auto sizing (initial_slice_bytes) — no hand-picked
+    # headroom; worst-case noise at q=50 fits (~132 kbit/slice measured vs
+    # the ~184 kbit budget), and the assert below still guards truncation
+    from ec504_imageencoder_tpu.models.mpeg1 import initial_slice_bytes
+
+    max_slice_bytes = initial_slice_bytes(QUALITY, W1080 // 16)
 
     fn = _jitted_correct_pipeline(qscale, max_slice_bytes)
 
@@ -273,8 +276,9 @@ def measure_end_to_end() -> dict:
     src = FolderFrameSource(folder)
     n = len(src)
 
-    enc = MPEG1IntraEncoder(quality=QUALITY, max_slice_bytes=20480)
-    fn = _jitted_correct_pipeline(enc.qscale, enc.max_slice_bytes,
+    enc = MPEG1IntraEncoder(quality=QUALITY)
+    fn = _jitted_correct_pipeline(enc.qscale,
+                                 enc.resolve_slice_bytes(W1080 // 16),
                                  enc.dct_impl, enc.color_range)
     intra_dev = jax.device_put(enc.intra_q)
 

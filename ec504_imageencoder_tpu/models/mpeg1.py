@@ -85,6 +85,49 @@ def quality_to_quant(quality: int) -> tuple[np.ndarray, int]:
     return w, qscale
 
 
+def slice_bytes_bucket(nbytes: int) -> int:
+    """Round a slice-buffer size up to the fused-kernel granularity.
+
+    The fused Pallas pack engages when max_words % 128 == 0 and
+    max_words >= 640 (ops/bitpack.py gate), i.e. byte sizes that are
+    512-multiples >= 2560; smaller/odd sizes silently fall back to the
+    generic pack."""
+    return max(2560, -(-nbytes // 512) * 512)
+
+
+def worst_case_slice_bytes(mbw: int) -> int:
+    """Hard upper bound on one slice's bytes, from the bitstream format.
+
+    Per 8x8 block: DC size code (<= 8 bits) + <= 8 DC bits, 63 AC
+    escapes at 6+6+16 = 28 bits (levels are clamped to the 8/16-bit
+    escape range), 2-bit EOB; per MB: 2-bit header + 6 blocks; per
+    slice: 38 header bits + mbw MBs.  The reference's growable
+    bitvector (bit_vector.c:148-169) never needs this bound because it
+    reallocs; a fixed-size device buffer sized here can never overflow."""
+    per_block = 8 + 8 + 63 * 28 + 2
+    bits = 38 + mbw * (2 + 6 * per_block)
+    return slice_bytes_bucket(-(-bits // 8))
+
+
+def initial_slice_bytes(quality: int, mbw: int) -> int:
+    """Default slice-buffer size for (quality, frame width).
+
+    Sized from measured content (1080p white noise at q=50 packs ~183
+    bits/block; real images far less) with headroom, NOT the worst case:
+    the pack kernel writes the whole buffer, so a worst-case default
+    would multiply the pack stage's HBM traffic ~8x for nothing.
+    Adversarial content that overflows triggers one exact regrow +
+    re-encode (MPEG1IntraEncoder._run_pipeline)."""
+    if quality <= 60:
+        per_block = 256
+    elif quality <= 85:
+        per_block = 384
+    else:
+        per_block = 512
+    bits = 38 + mbw * 6 * per_block
+    return min(slice_bytes_bucket(-(-bits // 8)), worst_case_slice_bytes(mbw))
+
+
 def pad_to_macroblocks(frames: np.ndarray) -> np.ndarray:
     """Edge-replicate (B, H, W, 3) frames to multiples of 16."""
     h, w = frames.shape[1:3]
@@ -548,15 +591,17 @@ class MPEG1IntraEncoder:
         quality: int = 50,
         frame_rate_code: int = 3,
         gop_size: int = 15,
-        max_slice_bytes: int = 16384,
+        max_slice_bytes: int | None = None,
         backend: str = "jax",
         dct_impl: str = "auto",
         color_range: str = "studio",
+        grow_slices: bool = True,
     ):
         if color_range not in ("studio", "full"):
             raise ValueError(
                 f"color_range must be 'studio' or 'full', got {color_range!r}"
             )
+        self.quality = quality
         self.intra_q, self.qscale = quality_to_quant(quality)
         # the integer AAN's +-2 noise caps PSNR ~40 dB; at fine
         # quantization switch to the f32 MXU-matmul DCT automatically
@@ -567,41 +612,70 @@ class MPEG1IntraEncoder:
         self.frame_rate_code = frame_rate_code
         self.fps = FRAME_RATE_VALUES[frame_rate_code]
         self.gop_size = gop_size
+        # None = auto-size from (quality, frame width) at first encode.
+        # An explicit value is a STARTING size, not a cap: like the
+        # reference's growable bitvector (bit_vector.c:148-169), an
+        # overflowing slice regrows the buffer and re-encodes unless
+        # grow_slices=False (which restores the hard OverflowError).
         self.max_slice_bytes = max_slice_bytes
+        self.grow_slices = grow_slices
         self.backend = backend
         self.metrics = None  # optional EncodeMetrics sink (CLI --metrics)
 
-    def _run_pipeline(self, padded: np.ndarray):
+    def resolve_slice_bytes(self, mbw: int) -> int:
+        """Current slice-buffer size, auto-sized on first use."""
+        if self.max_slice_bytes is None:
+            self.max_slice_bytes = initial_slice_bytes(self.quality, mbw)
+        return self.max_slice_bytes
+
+    def _pipeline_once(self, padded: np.ndarray, msb: int):
         if self.backend == "jax":
             fn = _jitted_correct_pipeline(
-                self.qscale, self.max_slice_bytes, self.dct_impl,
-                self.color_range,
+                self.qscale, msb, self.dct_impl, self.color_range,
             )
-            seg_dev, bits_dev = fn(padded, self.intra_q)
+            return fn(padded, self.intra_q)
+        return correct_pipeline(
+            padded, self.intra_q, self.qscale, msb,
+            xp=np, dct_impl=self.dct_impl, color_range=self.color_range,
+        )
+
+    def _run_pipeline(self, padded: np.ndarray):
+        msb = self.resolve_slice_bytes(padded.shape[2] // 16)
+        need_bits = 0
+        for _attempt in range(3):
+            seg_dev, bits_dev = self._pipeline_once(padded, msb)
             bits = np.asarray(bits_dev)
-            used = (int(bits.max(initial=0)) + 7) // 8
-            bucket = min(max(256, 1 << max(used - 1, 1).bit_length()), self.max_slice_bytes)
-            seg = np.asarray(seg_dev[:, :, :bucket])
+            if int(bits.min(initial=0)) < 0:
+                # EC504_DEBUG_CHECKS=1: in-kernel guards report violations
+                # as negated slice bit counts (_tpu_pipeline_from_planes)
+                viol = -bits[bits < 0]
+                raise RuntimeError(
+                    f"in-kernel invariant violations in {viol.size} slice(s) "
+                    f"({int(viol.sum())} total hits) — VLC slot length/"
+                    "masking or pack byte-plane invariant broken; see "
+                    "ops.pallas_vlc.slot_violations"
+                )
+            need_bits = int(bits.max(initial=0))
+            if need_bits <= 8 * msb:
+                break
+            if not self.grow_slices:
+                raise OverflowError(
+                    f"slice needs {-(-need_bits // 8)} bytes > "
+                    f"max_slice_bytes={msb} and grow_slices=False"
+                )
+            # nbits is the true cumulative bit count regardless of buffer
+            # size (ops/bitpack.py), so one regrow lands exactly
+            msb = slice_bytes_bucket(-(-need_bits // 8))
+            self.max_slice_bytes = msb
         else:
-            seg, bits = correct_pipeline(
-                padded, self.intra_q, self.qscale, self.max_slice_bytes,
-                xp=np, dct_impl=self.dct_impl, color_range=self.color_range,
-            )
-        if int(bits.min(initial=0)) < 0:
-            # EC504_DEBUG_CHECKS=1: in-kernel guards report violations as
-            # negated slice bit counts (see _tpu_pipeline_from_planes)
-            viol = -bits[bits < 0]
-            raise RuntimeError(
-                f"in-kernel invariant violations in {viol.size} slice(s) "
-                f"({int(viol.sum())} total hits) — VLC slot length/masking "
-                "or pack byte-plane invariant broken; see "
-                "ops.pallas_vlc.slot_violations"
-            )
-        if int(bits.max(initial=0)) > 8 * self.max_slice_bytes:
             raise OverflowError(
-                "slice exceeded max_slice_bytes="
-                f"{self.max_slice_bytes}; raise it and retry"
+                f"slice-buffer regrow did not converge at {msb} bytes"
             )
+        # two-step fetch: bit lengths first (tiny), then only the used
+        # byte prefix, bucketed to limit recompiles
+        used = -(-need_bits // 8)
+        bucket = min(max(256, 1 << max(used - 1, 1).bit_length()), msb)
+        seg = np.asarray(seg_dev[:, :, :bucket])
         return seg, bits
 
     def encode(self, frames_rgb: np.ndarray, first_frame_index: int = 0) -> bytes:

@@ -58,7 +58,7 @@ class ShardedMPEG1Encoder(MPEG1IntraEncoder):
         super().__init__(*args, **kwargs)
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
 
-    def _run_pipeline(self, padded: np.ndarray):
+    def _pipeline_once(self, padded: np.ndarray, msb: int):
         n_data = self.mesh.shape[mesh_lib.DATA_AXIS]
         n_rows = self.mesh.shape[mesh_lib.ROWS_AXIS]
         mbh = padded.shape[1] // 16
@@ -72,19 +72,9 @@ class ShardedMPEG1Encoder(MPEG1IntraEncoder):
         if pad_b:
             padded = np.concatenate([padded, padded[-1:].repeat(pad_b, 0)])
         fn = _sharded_pipeline(
-            self.mesh, self.qscale, self.max_slice_bytes,
-            self.dct_impl, self.color_range,
+            self.mesh, self.qscale, msb, self.dct_impl, self.color_range,
         )
         seg_dev, bits_dev = fn(padded, self.intra_q)
         if pad_b:
             seg_dev, bits_dev = seg_dev[:batch], bits_dev[:batch]
-        bits = np.asarray(bits_dev)
-        if int(bits.max(initial=0)) > 8 * self.max_slice_bytes:
-            raise OverflowError(
-                f"slice exceeded max_slice_bytes={self.max_slice_bytes}"
-            )
-        used = (int(bits.max(initial=0)) + 7) // 8
-        bucket = min(
-            max(256, 1 << max(used - 1, 1).bit_length()), self.max_slice_bytes
-        )
-        return np.asarray(seg_dev[:, :, :bucket]), bits
+        return seg_dev, bits_dev

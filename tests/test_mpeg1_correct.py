@@ -117,9 +117,52 @@ def test_sequence_header_parse_roundtrip():
 
 
 def test_overflow_detection(crop):
-    enc = MPEG1IntraEncoder(quality=95, backend="numpy", max_slice_bytes=64)
+    # grow_slices=False restores the hard failure for callers that cap
+    # device memory deliberately
+    enc = MPEG1IntraEncoder(quality=95, backend="numpy", max_slice_bytes=64,
+                            grow_slices=False)
     with pytest.raises(OverflowError):
         enc.encode(crop[:1])
+
+
+def test_slice_buffer_regrows_on_overflow(crop):
+    # default behavior: an undersized explicit buffer regrows (reference
+    # analogue: growable bitvector, bit_vector.c:148-169) and the stream
+    # is identical to one encoded with ample headroom
+    small = MPEG1IntraEncoder(quality=95, backend="numpy", max_slice_bytes=64)
+    es_small = small.encode(crop[:1])
+    assert small.max_slice_bytes > 64  # regrew
+    big = MPEG1IntraEncoder(quality=95, backend="numpy",
+                            max_slice_bytes=65536)
+    assert es_small == big.encode(crop[:1])
+
+
+def test_auto_slice_sizing_defaults():
+    from ec504_imageencoder_tpu.models.mpeg1 import (
+        initial_slice_bytes,
+        slice_bytes_bucket,
+        worst_case_slice_bytes,
+    )
+
+    # fused-kernel granularity: 512-multiples >= 2560
+    assert slice_bytes_bucket(1) == 2560
+    assert slice_bytes_bucket(20481) == 20992
+    for q in (1, 50, 95, 100):
+        init = initial_slice_bytes(q, 120)
+        assert init % 512 == 0 and init >= 2560
+        assert init <= worst_case_slice_bytes(120)
+
+
+def test_worst_case_noise_encodes_with_defaults(rng):
+    # adversarial content at fine quantization: near-worst-case slices
+    # must encode with NO manual max_slice_bytes knob (VERDICT r4 item 2);
+    # 1080p-grade width at q=95 (one MB row tall keeps the CPU run fast —
+    # the slice byte budget depends on width only)
+    noise = rng.integers(0, 256, (1, 16, 1920, 3), dtype=np.uint8)
+    enc = MPEG1IntraEncoder(quality=95, backend="numpy")
+    es = enc.encode(noise) + headers.sequence_end()
+    dec = decode_es(es)
+    assert dec[0].shape == (16, 1920, 3)
 
 
 def test_reference_vlc_typo_fixed_in_correct_mode():
