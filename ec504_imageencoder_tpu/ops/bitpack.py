@@ -74,9 +74,15 @@ def pack_words(codes, lens, max_words: int, xp=np, bit_offset: int = 0):
         buf = buf.at[word_i].add(w0_i, mode="drop", indices_are_sorted=True)
         return buf.at[word_i + 1].add(w1_i, mode="drop", indices_are_sorted=True)
 
-    flat = word.reshape(-1, word.shape[-1])
-    out = jax.vmap(pack1)(flat, w0.reshape(flat.shape), w1.reshape(flat.shape))
-    return out.reshape(codes.shape[:-1] + (max_words,)), nbits
+    # nested vmap instead of reshape(-1, K): merging the leading axes
+    # would interleave (data, rows)-sharded dims under pjit and force
+    # GSPMD to insert all-gathers/all-to-alls; batching per-axis keeps
+    # the partitioned program collective-free (tests/test_sharding.py
+    # asserts this on the compiled HLO)
+    pack = pack1
+    for _ in range(word.ndim - 1):
+        pack = jax.vmap(pack)
+    return pack(word, w0, w1), nbits
 
 
 def pack_words_mxu(codes, lens, max_words: int, chunk: int | None = None,

@@ -184,6 +184,31 @@ def onehot_lookup_packed(idx, values_u32: np.ndarray, value_bits: int, xp,
     import jax
     import jax.numpy as jnp
 
+    def dense_gather(idx):
+        # Non-TPU lowerings (CPU device meshes): a plain gather over the
+        # replicated table partitions trivially under GSPMD.  The MXU
+        # path's flatten/pad below merges the leading axes, which under
+        # pjit interleaves (data, rows)-sharded dims and forces
+        # all-gathers (tests/test_sharding.py asserts the compiled
+        # sharded step is collective-free).
+        table = jnp.asarray(values_u32)
+        return table[jnp.clip(idx, 0, values_u32.shape[0] - 1)]
+
+    def mxu_lookup(idx):
+        return _onehot_lookup_packed_mxu(
+            idx, values_u32, value_bits, cols, sub_bits, epc
+        )
+
+    return jax.lax.platform_dependent(
+        idx, tpu=mxu_lookup, default=dense_gather
+    )
+
+
+def _onehot_lookup_packed_mxu(idx, values_u32: np.ndarray, value_bits: int,
+                              cols: int, sub_bits: int, epc: int):
+    import jax
+    import jax.numpy as jnp
+
     m = values_u32.shape[0]
     sub = 1 << sub_bits
     n_h = -(-m // sub)

@@ -38,6 +38,37 @@ def test_sharded_matches_oracle(frames, reference_bytes, shape):
     assert enc.encode(frames) == reference_bytes
 
 
+COLLECTIVE_RE = (
+    r"= \S+ (?:all-gather|all-reduce|collective-permute|all-to-all"
+    r"|reduce-scatter|collective-broadcast)\("
+)
+
+
+@pytest.mark.parametrize("shape", [(4, 2), (8, 1), (2, 4)])
+def test_sharded_step_compiles_collective_free(shape):
+    """HLO-level evidence for the zero-collective scaling claim
+    (parallel/mesh.py docstring): the compiled partitioned program must
+    contain no cross-device communication ops.  Slices are independent
+    bitstream islands, so any collective is a partitioning defect (r4
+    found the MXU LUT flatten and the pack reshape both forced
+    all-gathers; ops/mxu_lut.py + ops/bitpack.py now keep sharded axes
+    unmerged)."""
+    import re
+
+    from ec504_imageencoder_tpu.models.mpeg1 import quality_to_quant
+    from ec504_imageencoder_tpu.parallel.sharded_encoder import (
+        _sharded_pipeline,
+    )
+
+    intra_q, qscale = quality_to_quant(45)
+    mesh = mesh_lib.make_mesh(*shape)
+    fn = _sharded_pipeline(mesh, qscale, 8192)
+    rgb = np.zeros((8, 64, 128, 3), np.uint8)
+    hlo = fn.lower(rgb, intra_q).compile().as_text()
+    found = re.findall(COLLECTIVE_RE, hlo)
+    assert not found, f"collectives in sharded HLO: {found}"
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__ as g
 
