@@ -604,7 +604,13 @@ class MPEG1IntraEncoder:
         self.quality = quality
         self.intra_q, self.qscale = quality_to_quant(quality)
         # the integer AAN's +-2 noise caps PSNR ~40 dB; at fine
-        # quantization switch to the f32 MXU-matmul DCT automatically
+        # quantization switch to the f32 MXU-matmul DCT automatically.
+        # Determinism of the f32 path: Precision.HIGHEST everywhere;
+        # byte-identical across host/XLA-CPU/mesh shardings (locked by
+        # tests/test_sharding.py at q=85), equal-PSNR across hardware
+        # backends (ops/dct.py matmul_dct docstring).  Pass
+        # dct_impl="aan" for bit-determinism across hardware at any
+        # quality.
         if dct_impl == "auto":
             dct_impl = "f32" if quality >= 70 else "aan"
         self.dct_impl = dct_impl

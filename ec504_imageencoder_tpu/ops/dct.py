@@ -229,15 +229,23 @@ def matmul_dct(blocks, xp=np):
     truncation noise caps PSNR around 40 dB; not usable in compat mode
     (bit-exactness requires the reference's integer arithmetic).
 
-    Determinism note: f32 accumulation order differs between backends
-    (XLA fuses multiply-adds; numpy doesn't), so streams produced with
-    this path can differ by a few bits across backends — all valid and
-    same quality.  The integer `aan_dct` path is bit-deterministic
-    everywhere and is the default below quality 70.
+    Determinism: the einsum runs at Precision.HIGHEST (full f32 MXU
+    passes — the TPU default would round operands through bf16, both
+    losing accuracy and diverging from host f32).  Measured guarantee
+    (tests/test_sharding.py q=85 row): host numpy, XLA CPU, and every
+    CPU-mesh sharding produce byte-identical streams; across *hardware*
+    backends (CPU vs TPU) f32 contraction-order differences can still
+    flip a rounding on rare half-ulp ties, so cross-hardware encodes
+    promise equal PSNR rather than equal bytes.  The integer `aan_dct`
+    path is bit-deterministic everywhere and is the default below
+    quality 70.
     """
     d = xp.asarray(dct_matrix_f32())
     b = blocks.astype(xp.float32)
-    f = xp.einsum("vy,...yx,ux->...vu", d, b, d)
+    if xp is np:
+        f = xp.einsum("vy,...yx,ux->...vu", d, b, d)
+    else:
+        f = xp.einsum("vy,...yx,ux->...vu", d, b, d, precision="highest")
     # round-half-away from zero, then int32 (jnp.round is half-to-even;
     # either is fine for quality, but keep host/device identical)
     return xp.where(f >= 0, xp.floor(f + 0.5), xp.ceil(f - 0.5)).astype(xp.int32)

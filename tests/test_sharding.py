@@ -38,6 +38,19 @@ def test_sharded_matches_oracle(frames, reference_bytes, shape):
     assert enc.encode(frames) == reference_bytes
 
 
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_high_quality_f32_dct_deterministic(frames, shape):
+    """q >= 70 auto-selects the f32 matmul DCT; with Precision.HIGHEST
+    the sharded stream must stay byte-identical to the host oracle
+    (the r4 matrix only pinned q=45/AAN)."""
+    host = MPEG1IntraEncoder(quality=85, backend="numpy").encode(frames)
+    enc = ShardedMPEG1Encoder(
+        quality=85, backend="jax", mesh=mesh_lib.make_mesh(*shape)
+    )
+    assert enc.dct_impl == "f32"  # the auto switch engaged
+    assert enc.encode(frames) == host
+
+
 COLLECTIVE_RE = (
     r"= \S+ (?:all-gather|all-reduce|collective-permute|all-to-all"
     r"|reduce-scatter|collective-broadcast)\("
