@@ -137,6 +137,128 @@ def test_multiprocess_two_hosts(tmp_path):
     assert got == want
 
 
+_FAULT_SCRIPT = r"""
+import os, sys
+sys.path.insert(0, "__REPO__")
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+pid, nproc, workdir, out, log = (int(sys.argv[1]), int(sys.argv[2]),
+                                 sys.argv[3], sys.argv[4], sys.argv[5])
+jax.distributed.initialize("127.0.0.1:__PORT__", num_processes=nproc,
+                           process_id=pid)
+jax.devices()  # distributed backend init is a collective: every process
+               # must join the device exchange, even the numpy-only one
+from ec504_imageencoder_tpu.models.mpeg1 import MPEG1IntraEncoder
+from ec504_imageencoder_tpu.parallel.distributed import encode_multihost
+rng = np.random.default_rng(0)  # same frames on every process
+frames = rng.integers(0, 256, (6, 64, 80, 3), dtype=np.uint8)
+
+calls = []
+def source(s, e):
+    if os.environ.get("EC504_DRILL") == "die" and pid == 1 and calls:
+        os._exit(42)  # hard kill mid-encode: after GOP 1, before 3 starts
+    calls.append((s, e))
+    with open(log, "a") as f:
+        f.write("%d %d %d\n" % (pid, s, e))
+    return frames[s:e]
+
+enc = MPEG1IntraEncoder(quality=40, gop_size=1, backend="numpy")
+if os.environ.get("EC504_DRILL") and pid == 0:
+    # phase 1, surviving process: encode own GOPs, then the job is torn
+    # down before the barrier (preemption semantics) - no stitch yet
+    from ec504_imageencoder_tpu.runtime.checkpoint import CheckpointedEncode
+    sess = CheckpointedEncode(workdir, enc, 6)
+    sess.manifest_path = os.path.join(workdir, "manifest_0.json")
+    sess.segments = {}
+    sess._load_manifest()
+    for g in range(sess.n_gops()):
+        if g % nproc == 0 and g not in sess.segments:
+            s, e = sess.gop_frame_range(g)
+            sess.encode_gop(g, source(s, e))
+    # wait until process 1 has banked its first GOP, so the drill state
+    # is deterministic (coordinator death also kills the peer via the
+    # failure detector), then tear down without distributed shutdown
+    import time
+    deadline = time.time() + 60
+    while not os.path.exists(os.path.join(workdir, "seg_000001.m1vseg")):
+        if time.time() > deadline:
+            os._exit(3)
+        time.sleep(0.05)
+    os._exit(0)  # preemption semantics
+n = encode_multihost(source, 6, workdir, out, encoder=enc)
+print("RESULT", pid, n)
+"""
+
+
+def _run_two_procs(script_path, wd, out, log, env=None, timeout=240):
+    full_env = dict(os.environ, **(env or {}))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, script_path, str(pid), "2", wd, out, log],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=full_env,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=timeout) for p in procs]
+    return procs, outs
+
+
+def test_multihost_fault_drill(tmp_path):
+    """Kill one process mid-encode, restart the job, and assert only the
+    missing GOPs re-encode and the stitched stream is byte-identical to a
+    single-process encode (the failure model claimed in
+    parallel/distributed.py:12-15)."""
+    import socket
+
+    def fresh_port():
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            return s.getsockname()[1]
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    wd, out = str(tmp_path / "wd"), str(tmp_path / "out.mpeg")
+    log = str(tmp_path / "encodes.log")
+
+    # phase 1: process 1 dies after encoding GOP 1 (of its share 1,3,5);
+    # process 0 finishes its share (0,2,4) and the job tears down
+    sp1 = str(tmp_path / "p1.py")
+    with open(sp1, "w") as f:
+        f.write(_FAULT_SCRIPT.replace("__PORT__", str(fresh_port()))
+                .replace("__REPO__", repo))
+    procs, outs = _run_two_procs(sp1, wd, out, log,
+                                 env={"EC504_DRILL": "die"})
+    assert procs[0].returncode == 0, outs[0][1].decode()[-2000:]
+    # died mid-encode: by its own scripted kill (42) or by the
+    # coordination-service failure detector reacting to the teardown (1)
+    assert procs[1].returncode in (42, 1), outs[1][1].decode()[-2000:]
+    assert not os.path.exists(out)    # no stitched stream yet
+    segs = sorted(f for f in os.listdir(wd) if f.endswith(".m1vseg"))
+    assert "seg_000001.m1vseg" in segs      # GOP 1 banked before the kill
+    assert "seg_000003.m1vseg" not in segs  # GOPs 3, 5 lost with the host
+    assert "seg_000005.m1vseg" not in segs
+
+    # phase 2: plain restart, same workdir, fresh coordinator
+    sp2 = str(tmp_path / "p2.py")
+    with open(sp2, "w") as f:
+        f.write(_FAULT_SCRIPT.replace("__PORT__", str(fresh_port()))
+                .replace("__REPO__", repo))
+    procs, outs = _run_two_procs(sp2, wd, out, log)
+    for p, (o, e) in zip(procs, outs):
+        assert p.returncode == 0, e.decode()[-2000:]
+
+    # only the dead process's missing GOPs (3, 5) were re-encoded
+    phase2 = [tuple(map(int, ln.split())) for ln in
+              open(log).read().splitlines()][4:]  # 4 encodes in phase 1
+    assert sorted(phase2) == [(1, 3, 4), (1, 5, 6)], phase2
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, (6, 64, 80, 3), dtype=np.uint8)
+    enc = MPEG1IntraEncoder(quality=40, gop_size=1, backend="numpy")
+    want = enc.encode(frames) + headers.sequence_end()
+    assert open(out, "rb").read() == want
+
+
 def test_metrics_histograms_and_derived():
     """EncodeMetrics: timers, histograms, derived frames/s/chip and
     speedup (SURVEY.md §5 metrics row)."""
