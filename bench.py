@@ -254,80 +254,83 @@ def _stage_e2e_jpegs(n: int) -> str:
 
 
 def measure_end_to_end() -> dict:
-    """JPEG folder -> .mpeg wall-clock fps with the three stages overlapped:
-    threaded host decode (FolderFrameSource lookahead), async device_put
-    upload double-buffering, device encode.  Replaces the reference's
-    load-all intake (encoder.h:126-171) with measured evidence.
+    """JPEG folder -> .mpeg wall-clock fps with the stages overlapped:
+    threaded host entropy-decode+IDCT to YCbCr planes (FolderFrameSource
+    lookahead), async device_put upload, device encode from planes,
+    bucketed fetch of the used slice prefixes.  Replaces the reference's
+    host-only load-all pipeline (encoder.h:126-171, stb_image.h:2430-2523).
 
-    NOTE: on this dev setup the TPU sits behind a relay tunnel, so the
-    upload leg is orders of magnitude slower than a production host; the
-    component timings are reported so the bottleneck is attributable."""
+    The planes intake (io/jpeg.decode_planes_batch + encode_from_planes)
+    skips the JPEG back-half's resample/color on the host AND the
+    encoder's color/subsample on device, and uploads 1.5 bytes/px
+    instead of RGB's 3 — on this dev setup the TPU sits behind a relay
+    tunnel, so wire bytes are the end-to-end bottleneck and the
+    component timings are reported so that is attributable."""
     import jax
 
     from ec504_imageencoder_tpu.io.stream import FolderFrameSource
     from ec504_imageencoder_tpu.models.mpeg1 import (
         MPEG1IntraEncoder,
-        _jitted_correct_pipeline,
-        pad_to_macroblocks,
+        _jitted_planes_pipeline,
+        pad_planes_to_macroblocks,
     )
     from ec504_imageencoder_tpu.syntax import headers
 
     folder = _stage_e2e_jpegs(E2E_FRAMES)
     src = FolderFrameSource(folder)
     n = len(src)
+    if not src.supports_planes():
+        return {"error": "planes intake unsupported for staged JPEGs"}
 
     enc = MPEG1IntraEncoder(quality=QUALITY)
-    fn = _jitted_correct_pipeline(enc.qscale,
-                                 enc.resolve_slice_bytes(W1080 // 16),
-                                 enc.dct_impl, enc.color_range)
+    msb = enc.resolve_slice_bytes(W1080 // 16)
+    fn = _jitted_planes_pipeline(enc.qscale, msb, enc.dct_impl)
     intra_dev = jax.device_put(enc.intra_q)
 
-    # compile + warm outside the timed loop (cached from the device bench
-    # when shapes match)
-    warm = jax.device_put(np.zeros((BATCH, PAD_H, W1080, 3), np.uint8))
-    _ = np.asarray(fn(warm, intra_dev)[1])
-    del warm
+    # compile + warm outside the timed loop
+    warm = (np.zeros((BATCH, PAD_H, W1080), np.uint8),
+            np.zeros((BATCH, PAD_H // 2, W1080 // 2), np.uint8),
+            np.zeros((BATCH, PAD_H // 2, W1080 // 2), np.uint8))
+    wd = [jax.device_put(p) for p in warm]
+    _ = np.asarray(fn(*wd, intra_dev)[1])
+    del warm, wd
 
-    # component: host decode only
+    # component: host decode only (entropy + IDCT, planes out)
     t0 = time.perf_counter()
-    frames0 = src(0, min(BATCH, n))
+    planes0 = src.planes(0, min(BATCH, n))
     t_decode_batch = time.perf_counter() - t0
 
     # component: upload only (async dispatch + block)
+    padded0 = pad_planes_to_macroblocks(*planes0)
+    up_bytes = sum(p.nbytes for p in padded0)
     t0 = time.perf_counter()
-    dev = jax.device_put(pad_to_macroblocks(frames0))
-    dev.block_until_ready()
+    dev = [jax.device_put(p) for p in padded0]
+    for d in dev:
+        d.block_until_ready()
     t_upload_batch = time.perf_counter() - t0
 
     out = bytearray()
+    t_fetch = [0.0]
     t0 = time.perf_counter()
     pending = None  # (start, nframes, device result)
 
     def drain(p):
         start, k, res = p
-        seg, bits = np.asarray(res[0]), np.asarray(res[1])
-        for i in range(k):
-            gi = start + i
-            if gi % enc.gop_size == 0:
-                from ec504_imageencoder_tpu.models.mpeg1 import (
-                    gop_header_es,
-                    sequence_header_es,
-                )
+        tf = time.perf_counter()
+        bits = np.asarray(res[1])
+        used = (int(bits.max(initial=0)) + 7) // 8
+        bucket = min(max(256, 1 << max(used - 1, 1).bit_length()), msb)
+        seg = np.asarray(res[0][:, :, :bucket])
+        t_fetch[0] += time.perf_counter() - tf
+        out.extend(enc.assemble(seg, bits, W1080, H1080, start))
 
-                out.extend(sequence_header_es(W1080, H1080, enc.frame_rate_code,
-                                              intra_matrix=enc.intra_q))
-                out.extend(gop_header_es(gi, enc.fps))
-            out.extend(headers.picture_header(temporal_ref=gi % enc.gop_size))
-            for s in range(seg.shape[1]):
-                nby = (int(bits[i, s]) + 7) // 8
-                out.extend(seg[i, s, :nby].tobytes())
-
-    for start, frames in src.batches(BATCH):
-        dev = jax.device_put(pad_to_macroblocks(frames))   # async upload
-        res = fn(dev, intra_dev)                           # async dispatch
+    for start, planes in src.plane_batches(BATCH):
+        dev = [jax.device_put(p)
+               for p in pad_planes_to_macroblocks(*planes)]  # async upload
+        res = fn(*dev, intra_dev)                            # async dispatch
         if pending is not None:
-            drain(pending)                                 # overlap host work
-        pending = (start, len(frames), res)
+            drain(pending)                                   # overlap host work
+        pending = (start, planes[0].shape[0], res)
     drain(pending)
     out.extend(headers.sequence_end())
     wall = time.perf_counter() - t0
@@ -337,8 +340,12 @@ def measure_end_to_end() -> dict:
         "frames": n,
         "fps_end_to_end": n / wall,
         "wall_s": wall,
-        "decode_fps_host": len(frames0) / t_decode_batch,
+        "intake": "ycbcr420_planes",
+        "decode_fps_host": len(planes0[0]) / t_decode_batch,
+        "decode_s_per_batch": t_decode_batch,
         "upload_s_per_batch": t_upload_batch,
+        "upload_mbytes_per_batch": round(up_bytes / 1e6, 1),
+        "fetch_s_total": round(t_fetch[0], 3),
         "stream_bytes": len(out),
     }
 

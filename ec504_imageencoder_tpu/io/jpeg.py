@@ -49,8 +49,97 @@ def _load_native():
                 ctypes.c_int,
             ]
             lib.stbj_decode_batch.restype = ctypes.c_int
+        if hasattr(lib, "stbj_probe_file"):
+            lib.stbj_probe_file.argtypes = [ctypes.c_char_p] + [
+                ctypes.POINTER(ctypes.c_int)
+            ] * 7
+            lib.stbj_probe_file.restype = ctypes.c_int
+            staged = [
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int,
+            ]
+            lib.stbj_decode_planes_batch.argtypes = staged + [
+                ctypes.POINTER(ctypes.c_ubyte)] * 3 + [
+                ctypes.POINTER(ctypes.c_int), ctypes.c_int]
+            lib.stbj_decode_planes_batch.restype = ctypes.c_int
+            lib.stbj_decode_coeffs_batch.argtypes = staged + [
+                ctypes.POINTER(ctypes.c_int16)] * 3 + [
+                ctypes.POINTER(ctypes.c_int), ctypes.c_int]
+            lib.stbj_decode_coeffs_batch.restype = ctypes.c_int
         _native = lib
     return _native
+
+
+def probe_jpeg(path: str) -> dict | None:
+    """Header-only geometry probe: {width, height, ncomp, chroma_w,
+    chroma_h, hsamp, vsamp}; None if the native decoder is unavailable
+    or the file fails to parse."""
+    lib = _load_native()
+    if lib is None or not hasattr(lib, "stbj_probe_file"):
+        return None
+    vals = [ctypes.c_int() for _ in range(7)]
+    if not lib.stbj_probe_file(path.encode(), *vals):
+        return None
+    w, h, ncomp, cw, ch, hs, vs = (v.value for v in vals)
+    return {"width": w, "height": h, "ncomp": ncomp,
+            "chroma_w": cw, "chroma_h": ch, "hsamp": hs, "vsamp": vs}
+
+
+def _staged_batch(paths, geom, n_threads, kind):
+    """Shared driver for the planes/coeffs batch decoders.  Raises on any
+    per-file failure (streaming intakes are fail-fast; io/stream.py)."""
+    lib = _load_native()
+    if lib is None or not hasattr(lib, "stbj_probe_file"):
+        raise RuntimeError("native staged JPEG decoder unavailable")
+    n = len(paths)
+    w, h = geom["width"], geom["height"]
+    cw, ch = geom["chroma_w"], geom["chroma_h"]
+    if kind == "planes":
+        y = np.empty((n, h, w), np.uint8)
+        cb = np.empty((n, ch, cw), np.uint8)
+        cr = np.empty((n, ch, cw), np.uint8)
+        fn, cty = lib.stbj_decode_planes_batch, ctypes.c_ubyte
+    else:
+        ybh, ybw = -(-h // 8), -(-w // 8)
+        cbh, cbw = -(-ch // 8), -(-cw // 8)
+        y = np.empty((n, ybh * ybw, 64), np.int16)
+        cb = np.empty((n, cbh * cbw, 64), np.int16)
+        cr = np.empty((n, cbh * cbw, 64), np.int16)
+        fn, cty = lib.stbj_decode_coeffs_batch, ctypes.c_int16
+    st = np.zeros(n, np.int32)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    fn(
+        c_paths, n, w, h, cw, ch,
+        y.ctypes.data_as(ctypes.POINTER(cty)),
+        cb.ctypes.data_as(ctypes.POINTER(cty)),
+        cr.ctypes.data_as(ctypes.POINTER(cty)),
+        st.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        n_threads,
+    )
+    bad = np.nonzero(st != 0)[0]
+    if bad.size:
+        i = int(bad[0])
+        kinds = {1: "decode failure", 2: "dimension mismatch",
+                 3: "unsupported component layout"}
+        raise ValueError(f"{kinds.get(int(st[i]), 'error')}: {paths[i]}")
+    return y, cb, cr
+
+
+def decode_planes_batch(paths: list[str], geom: dict, n_threads: int = 0):
+    """Threaded batch decode to YCbCr planes (entropy decode + IDCT on
+    the host, no resample/color): (Y (n,h,w), Cb, Cr (n,ch,cw)) u8.
+    Half the bytes of RGB — the preferred intake for the MPEG encoder,
+    which wants 4:2:0 YCbCr anyway."""
+    return _staged_batch(paths, geom, n_threads, "planes")
+
+
+def decode_coeffs_batch(paths: list[str], geom: dict, n_threads: int = 0):
+    """Threaded batch decode to dequantized int16 coefficient blocks
+    (host does entropy decode ONLY): (n, blocks, 64) per component.
+    Feed to ops.jpeg_tpu.decode_rgb_from_coeffs / decode_planes_from_coeffs
+    for the jitted device back-half."""
+    return _staged_batch(paths, geom, n_threads, "coeffs")
 
 
 def have_native_decoder() -> bool:

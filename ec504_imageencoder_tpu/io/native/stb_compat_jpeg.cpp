@@ -39,12 +39,21 @@ constexpr uint8_t kZigzagNat[64] = {
     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
 
+constexpr int kFastBits = 9;  // first-level LUT covers code lens 1..9
+
 struct Huffman {
   // canonical decode state per code length 1..16
   int32_t mincode[17];
   int32_t maxcode[18];
   int32_t valptr[17];
   uint8_t values[256];
+  // single-probe fast path: top kFastBits of the bit buffer -> (value,
+  // length) for codes of length <= kFastBits, 0 length = slow path.
+  // JPEG Huffman tables put the overwhelming majority of symbol mass in
+  // short codes, so this removes the per-bit canonical walk from the
+  // entropy-decode hot loop (the one inherently serial stage).
+  uint8_t fast_val[1 << kFastBits];
+  uint8_t fast_len[1 << kFastBits];
   bool present = false;
 
   void build(const uint8_t counts[16], const uint8_t *vals, int nvals) {
@@ -60,6 +69,20 @@ struct Huffman {
       code <<= 1;
     }
     maxcode[17] = 0x7fffffff;
+    std::memset(fast_len, 0, sizeof fast_len);
+    code = 0;
+    k = 0;
+    for (int len = 1; len <= kFastBits; len++) {
+      for (int i = 0; i < counts[len - 1]; i++, k++, code++) {
+        int lo = code << (kFastBits - len);
+        int hi = lo + (1 << (kFastBits - len));
+        for (int e = lo; e < hi; e++) {
+          fast_val[e] = values[k];
+          fast_len[e] = uint8_t(len);
+        }
+      }
+      code <<= 1;
+    }
     present = true;
   }
 };
@@ -77,10 +100,29 @@ struct Component {
 
 class Decoder {
  public:
-  bool decode(const uint8_t *data, size_t len);
+  // stop stages for the hybrid host/TPU pipeline: COEFFS ends after
+  // entropy decode (+ dequantization), PLANES after the IDCT (per-
+  // component YCbCr pixel planes, no resample/color), FULL is the
+  // original interleaved-RGB decode.
+  enum Stage { COEFFS = 0, PLANES = 1, FULL = 2 };
+  bool decode(const uint8_t *data, size_t len, Stage stage = FULL);
+  bool probe(const uint8_t *data, size_t len);  // parse through SOF only
   int width() const { return img_w_; }
   int height() const { return img_h_; }
   int channels() const { return ncomp_ >= 3 ? 3 : 1; }
+  int ncomp() const { return ncomp_; }
+  int comp_w(int k) const { return comp_[k].x; }
+  int comp_h(int k) const { return comp_[k].y; }
+  int comp_stride(int k) const { return comp_[k].w2; }
+  int comp_hs(int k) const { return comp_[k].h; }
+  int comp_vs(int k) const { return comp_[k].v; }
+  const uint8_t *comp_pixels(int k) const { return comp_[k].pixels.data(); }
+  // dequantized int16 coefficients, block-row-major over the full
+  // MCU-aligned (bw x bh) grid, 64 natural-order values per block
+  const int16_t *comp_coeffs(int k) const { return comp_[k].coeff.data(); }
+  int comp_bw(int k) const { return (comp_[k].x + 7) / 8; }
+  int comp_bh(int k) const { return (comp_[k].y + 7) / 8; }
+  int comp_bstride(int k) const { return comp_[k].bw; }
   std::vector<uint8_t> output;
 
  private:
@@ -153,12 +195,20 @@ class Decoder {
 
   int decode_huff(const Huffman &h) {
     if (bitcnt_ < 16) fill_bits();
+    int look = int(bitbuf_ >> (32 - kFastBits));
+    int fl = h.fast_len[look];
+    if (fl) {
+      bitbuf_ <<= fl;
+      bitcnt_ -= fl;
+      return h.fast_val[look];
+    }
     int code = 0;
     for (int len = 1; len <= 16; len++) {
       code = (code << 1) | int(bitbuf_ >> 31);
       bitbuf_ <<= 1;
       bitcnt_--;
-      if (h.maxcode[len] >= code && code >= h.mincode[len]) {
+      if (len > kFastBits &&
+          h.maxcode[len] >= code && code >= h.mincode[len]) {
         return h.values[h.valptr[len] + code - h.mincode[len]];
       }
     }
@@ -176,6 +226,7 @@ class Decoder {
   bool ac_first(Component &c, int16_t *blk, int ss, int se, int al);
   bool ac_refine(Component &c, int16_t *blk, int ss, int se, int al);
   bool handle_restart();
+  void dequantize_blocks();
   void finish_blocks();
   void resample_color();
 };
@@ -577,6 +628,25 @@ void idct_block(uint8_t *out, int stride, const int16_t *d) {
   }
 }
 
+void Decoder::dequantize_blocks() {
+  // COEFFS stage: leave coefficients dequantized in place (baseline
+  // blocks already are — decode_block_baseline multiplies during decode;
+  // progressive blocks carry raw levels until now, stb_image.h:2227
+  // semantics: products truncated through int16)
+  if (!progressive_) return;
+  for (int k = 0; k < ncomp_; k++) {
+    Component &c = comp_[k];
+    const uint16_t *q = quant_[c.tq];
+    int cbw = (c.x + 7) / 8, cbh = (c.y + 7) / 8;
+    for (int j = 0; j < cbh; j++) {
+      for (int i = 0; i < cbw; i++) {
+        int16_t *blk = &c.coeff[size_t(j * c.bw + i) * 64];
+        for (int t = 0; t < 64; t++) blk[t] = int16_t(blk[t] * q[t]);
+      }
+    }
+  }
+}
+
 void Decoder::finish_blocks() {
   for (int k = 0; k < ncomp_; k++) {
     Component &c = comp_[k];
@@ -723,7 +793,40 @@ void Decoder::resample_color() {
 
 // ---------------------------------------------------------------------------
 
-bool Decoder::decode(const uint8_t *data, size_t len) {
+bool Decoder::probe(const uint8_t *data, size_t len) {
+  p_ = data;
+  end_ = data + len;
+  if (u8() != 0xFF || u8() != 0xD8) return fail("not a JPEG (no SOI)");
+  while (p_ < end_) {
+    int m = u8();
+    if (m != 0xFF) continue;
+    while (m == 0xFF && p_ < end_) m = u8();
+    switch (m) {
+      case 0xC0:
+      case 0xC1:
+        return parse_sof(false);
+      case 0xC2:
+        return parse_sof(true);
+      case 0xD9:
+        return fail("no SOF before EOI");
+      default:
+        if ((m >= 0xD0 && m <= 0xD7) || m == 0x01) break;
+        p_ += u16() - 2;
+        break;
+    }
+  }
+  return fail("no SOF found");
+}
+
+bool Decoder::decode(const uint8_t *data, size_t len, Stage stage) {
+  auto finish = [&]() {
+    if (stage == COEFFS) {
+      dequantize_blocks();
+      return;
+    }
+    finish_blocks();
+    if (stage == FULL) resample_color();
+  };
   p_ = data;
   end_ = data + len;
   if (u8() != 0xFF || u8() != 0xD8) return fail("not a JPEG (no SOI)");
@@ -759,8 +862,7 @@ bool Decoder::decode(const uint8_t *data, size_t len) {
         if (pending_marker_) { /* positioned at marker */ }
         break;
       case 0xD9:  // EOI
-        finish_blocks();
-        resample_color();
+        finish();
         return true;
       case 0xC3:
       case 0xC5:
@@ -781,8 +883,7 @@ bool Decoder::decode(const uint8_t *data, size_t len) {
     }
   }
   if (have_sof) {  // missing EOI: decode what we have
-    finish_blocks();
-    resample_color();
+    finish();
     return true;
   }
   return fail("no image data");
@@ -877,4 +978,153 @@ int stbj_decode_batch(const char **paths, int n, int expect_w, int expect_h,
   for (auto &th : pool) th.join();
   return ok.load();
 }
+
+}  // extern "C" (reopened below for the staged-decode entry points)
+
+// ---------------------------------------------------------------------------
+// Staged decode for the hybrid host/TPU pipeline (reference counterpart:
+// stb's host-only pipeline, stb_image.h:2430-2523 + encoder.h:126-171 —
+// there everything runs on the host; here the host stops after the
+// inherently serial entropy decode (+ optional IDCT) and the TPU runs
+// the rest, or the encoder ingests the YCbCr planes directly).
+
+static std::vector<unsigned char> read_file(const char *path) {
+  std::vector<unsigned char> buf;
+  FILE *f = std::fopen(path, "rb");
+  if (!f) return buf;
+  std::fseek(f, 0, SEEK_END);
+  long len = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  buf.resize(size_t(len > 0 ? len : 0));
+  if (len > 0 && std::fread(buf.data(), 1, size_t(len), f) != size_t(len))
+    buf.clear();
+  std::fclose(f);
+  return buf;
+}
+
+// Header-only probe: image dims, component count, and the (cropped)
+// chroma plane dims of component 1 (equal to comp 2 for all real JPEGs).
+// Returns 1 on success, 0 on failure.
+extern "C" int stbj_probe_file(const char *path, int *w, int *h, int *ncomp,
+                    int *cw, int *ch, int *hsamp, int *vsamp) {
+  auto buf = read_file(path);
+  if (buf.empty()) return 0;
+  Decoder d;
+  if (!d.probe(buf.data(), buf.size())) return 0;
+  *w = d.width();
+  *h = d.height();
+  *ncomp = d.ncomp();
+  if (d.ncomp() >= 3) {
+    *cw = d.comp_w(1);
+    *ch = d.comp_h(1);
+    *hsamp = d.comp_hs(0) / d.comp_hs(1);
+    *vsamp = d.comp_vs(0) / d.comp_vs(1);
+  } else {
+    *cw = *ch = 0;
+    *hsamp = *vsamp = 0;
+  }
+  return 1;
+}
+
+namespace {
+
+// shared batch driver: per-file status 0 ok, 1 decode failure, 2
+// dimension mismatch, 3 unsupported layout (not 3-component, or chroma
+// dims differ from the probe)
+template <typename Fn>
+int run_batch(const char **paths, int n, int n_threads, int *status,
+              Fn &&per_file) {
+  if (n <= 0) return 0;
+  if (n_threads <= 0) {
+    n_threads = int(std::thread::hardware_concurrency());
+    if (n_threads <= 0) n_threads = 4;
+  }
+  if (n_threads > n) n_threads = n;
+  std::atomic<int> next(0), ok(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      status[i] = per_file(i);
+      if (status[i] == 0) ok.fetch_add(1);
+    }
+  };
+  std::vector<std::thread> pool;
+  pool.reserve(size_t(n_threads));
+  for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+  for (auto &th : pool) th.join();
+  return ok.load();
+}
+
+int check_layout(const Decoder &d, int ew, int eh, int ecw, int ech) {
+  if (d.ncomp() != 3) return 3;
+  if (d.width() != ew || d.height() != eh) return 2;
+  if (d.comp_w(0) != ew || d.comp_h(0) != eh) return 3;  // Y subsampled?!
+  for (int k = 1; k < 3; k++)
+    if (d.comp_w(k) != ecw || d.comp_h(k) != ech) return 3;
+  return 0;
+}
+
+}  // namespace
+
+// Decode to per-component YCbCr pixel planes (post-IDCT, pre-resample):
+// Y cropped to (eh, ew), Cb/Cr cropped to (ech, ecw) each — exactly the
+// 4:2:0 planes the MPEG encoder ingests, at half the bytes of RGB.
+extern "C" int stbj_decode_planes_batch(
+                             const char **paths, int n, int ew, int eh,
+                             int ecw, int ech, unsigned char *y_out,
+                             unsigned char *cb_out, unsigned char *cr_out,
+                             int *status, int n_threads) {
+  const size_t ysz = size_t(ew) * eh, csz = size_t(ecw) * ech;
+  return run_batch(paths, n, n_threads, status, [&](int i) {
+    auto buf = read_file(paths[i]);
+    if (buf.empty()) return 1;
+    Decoder d;
+    if (!d.decode(buf.data(), buf.size(), Decoder::PLANES)) return 1;
+    int rc = check_layout(d, ew, eh, ecw, ech);
+    if (rc) return rc;
+    unsigned char *outs[3] = {y_out + size_t(i) * ysz,
+                              cb_out + size_t(i) * csz,
+                              cr_out + size_t(i) * csz};
+    for (int k = 0; k < 3; k++) {
+      const uint8_t *src = d.comp_pixels(k);
+      int cw = d.comp_w(k), chh = d.comp_h(k), stride = d.comp_stride(k);
+      for (int r = 0; r < chh; r++)
+        std::memcpy(outs[k] + size_t(r) * cw, src + size_t(r) * stride, cw);
+    }
+    return 0;
+  });
+}
+
+// Decode to dequantized int16 coefficient blocks (entropy decode only on
+// the host): per frame, Y is ceil(eh/8)*ceil(ew/8) blocks of 64
+// natural-order int16, chroma likewise at (ech, ecw).  The TPU runs
+// dequant-free islow IDCT + resample + color (ops/jpeg_tpu.py).
+extern "C" int stbj_decode_coeffs_batch(
+                             const char **paths, int n, int ew, int eh,
+                             int ecw, int ech, int16_t *y_out,
+                             int16_t *cb_out, int16_t *cr_out, int *status,
+                             int n_threads) {
+  const int ybw = (ew + 7) / 8, ybh = (eh + 7) / 8;
+  const int cbw = (ecw + 7) / 8, cbh = (ech + 7) / 8;
+  const size_t ysz = size_t(ybw) * ybh * 64, csz = size_t(cbw) * cbh * 64;
+  return run_batch(paths, n, n_threads, status, [&](int i) {
+    auto buf = read_file(paths[i]);
+    if (buf.empty()) return 1;
+    Decoder d;
+    if (!d.decode(buf.data(), buf.size(), Decoder::COEFFS)) return 1;
+    int rc = check_layout(d, ew, eh, ecw, ech);
+    if (rc) return rc;
+    int16_t *outs[3] = {y_out + size_t(i) * ysz, cb_out + size_t(i) * csz,
+                        cr_out + size_t(i) * csz};
+    for (int k = 0; k < 3; k++) {
+      const int16_t *src = d.comp_coeffs(k);
+      int bw = d.comp_bw(k), bh = d.comp_bh(k), bstride = d.comp_bstride(k);
+      for (int r = 0; r < bh; r++)
+        std::memcpy(outs[k] + size_t(r) * bw * 64,
+                    src + size_t(r) * bstride * 64,
+                    size_t(bw) * 64 * sizeof(int16_t));
+    }
+    return 0;
+  });
 }

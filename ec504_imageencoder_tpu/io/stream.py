@@ -94,14 +94,48 @@ class FolderFrameSource:
             return np.concatenate([first, rest]) if len(rest) else first.copy()
         return self._decode_range(start, end)
 
-    def batches(self, batch_size: int):
-        """Yield (start_index, frames) with one-batch lookahead decode."""
+    def _lookahead(self, fetch, batch_size: int):
         n = len(self.paths)
         with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
-            nxt = pool.submit(self, 0, min(batch_size, n))
+            nxt = pool.submit(fetch, 0, min(batch_size, n))
             for start in range(0, n, batch_size):
                 cur = nxt.result()
                 e2 = min(start + 2 * batch_size, n)
                 if start + batch_size < n:
-                    nxt = pool.submit(self, start + batch_size, e2)
+                    nxt = pool.submit(fetch, start + batch_size, e2)
                 yield start, cur
+
+    def batches(self, batch_size: int):
+        """Yield (start_index, frames) with one-batch lookahead decode."""
+        yield from self._lookahead(self, batch_size)
+
+    # -- YCbCr 4:2:0 plane intake (the JPEG fast path) --------------------
+    @property
+    def geometry(self) -> dict | None:
+        """Probed JPEG geometry of frame 0, or None without the native
+        staged decoder."""
+        if not hasattr(self, "_geom"):
+            self._geom = jpeg_io.probe_jpeg(self.paths[0])
+        return self._geom
+
+    def supports_planes(self) -> bool:
+        """True when frames can stream as 4:2:0 YCbCr planes: 3-component
+        2x2-subsampled JPEGs through the native staged decoder (other
+        layouts fall back to the RGB intake)."""
+        g = self.geometry
+        return bool(
+            g and g["ncomp"] == 3 and g["hsamp"] == 2 and g["vsamp"] == 2
+            and (g["width"], g["height"]) == (self.width, self.height)
+        )
+
+    def planes(self, start: int, end: int):
+        """Decode [start, end) to (Y, Cb, Cr) u8 plane batches — half the
+        bytes of RGB, no host resample/color (io/jpeg.decode_planes_batch),
+        ready for MPEG1IntraEncoder.encode_from_planes."""
+        return jpeg_io.decode_planes_batch(
+            self.paths[start:end], self.geometry, self.n_threads
+        )
+
+    def plane_batches(self, batch_size: int):
+        """Yield (start_index, (y, cb, cr)) with lookahead decode."""
+        yield from self._lookahead(self.planes, batch_size)

@@ -422,6 +422,74 @@ def _emit_and_pack(zz, pred, max_slice_bytes, xp):
     )
 
 
+def correct_pipeline_planes(
+    y, cb, cr, intra_q, qscale, max_slice_bytes, xp=np, dct_impl="aan",
+):
+    """YCbCr 4:2:0 planes intake: y (B, H, W) u8 (H, W multiples of 16),
+    cb/cr (B, H/2, W/2) u8 -> (slice segments, bit lens).
+
+    The JPEG-source fast path: JPEGs already carry full-range BT.601
+    4:2:0 YCbCr, so decoding to RGB and re-converting
+    (decode IDCT->upsample->color, encode color->subsample) is four
+    stages of pure rounding loss.  Feeding the decoded planes straight
+    in (io/jpeg.decode_planes_batch) skips all four, halves the
+    host->device bytes vs RGB, and is higher-fidelity.
+    """
+    bsz, h, w = y.shape[:3]
+    mbh = h // 16
+
+    if xp is np:
+        seg, nbits = _generic_pipeline_from_planes(
+            y, cb, cr, intra_q, qscale, max_slice_bytes, xp, dct_impl
+        )
+    else:
+        import os
+
+        import jax
+
+        mw = max_slice_bytes // 4
+        fused_ok = (
+            os.environ.get("EC504_VLC", "fused") == "fused"
+            and dct_impl == "aan" and mw % 128 == 0 and mw >= 640
+        )
+        generic = functools.partial(
+            _generic_pipeline_from_planes,
+            intra_q=intra_q, qscale=qscale,
+            max_slice_bytes=max_slice_bytes, xp=xp, dct_impl=dct_impl,
+        )
+        if fused_ok:
+            seg, nbits = jax.lax.platform_dependent(
+                y, cb, cr,
+                tpu=lambda y, cb, cr: _tpu_pipeline_from_planes(
+                    y, cb, cr, intra_q, qscale, max_slice_bytes
+                ),
+                default=lambda y, cb, cr: generic(y, cb, cr),
+            )
+        else:
+            seg, nbits = generic(y, cb, cr)
+    return _or_slice_headers(seg, nbits, bsz, mbh, qscale, xp)
+
+
+def _or_slice_headers(seg, nbits, bsz, mbh, qscale, xp):
+    vpos = xp.arange(1, mbh + 1, dtype=xp.uint8)
+    hdr = xp.stack(
+        [
+            xp.zeros((mbh,), xp.uint8),
+            xp.zeros((mbh,), xp.uint8),
+            xp.ones((mbh,), xp.uint8),
+            vpos,
+            xp.full((mbh,), (qscale & 0x1F) << 3, xp.uint8),
+        ],
+        axis=-1,
+    )  # (mbh, 5): 00 00 01 vpos [qscale<<1,'0' extra bit]<<2
+    hdr = xp.broadcast_to(hdr[None], (bsz, mbh, 5))
+    if xp is np:
+        seg[..., :5] |= hdr
+    else:
+        seg = seg.at[..., :5].set(seg[..., :5] | hdr)
+    return seg, nbits
+
+
 def correct_pipeline(
     rgb, intra_q, qscale, max_slice_bytes, xp=np, dct_impl="aan",
     color_range="studio",
@@ -468,54 +536,10 @@ def correct_pipeline(
         cr = subsample_420(cr, xp)
 
     with scope("encode_pack"):
-        if xp is np:
-            seg, nbits = _generic_pipeline_from_planes(
-                y, cb, cr, intra_q, qscale, max_slice_bytes, xp, dct_impl
-            )
-        else:
-            import os
-
-            import jax
-
-            mw = max_slice_bytes // 4
-            fused_ok = (
-                os.environ.get("EC504_VLC", "fused") == "fused"
-                and dct_impl == "aan" and mw % 128 == 0 and mw >= 640
-            )
-            generic = functools.partial(
-                _generic_pipeline_from_planes,
-                intra_q=intra_q, qscale=qscale,
-                max_slice_bytes=max_slice_bytes, xp=xp, dct_impl=dct_impl,
-            )
-            if fused_ok:
-                seg, nbits = jax.lax.platform_dependent(
-                    y, cb, cr,
-                    tpu=lambda y, cb, cr: _tpu_pipeline_from_planes(
-                        y, cb, cr, intra_q, qscale, max_slice_bytes
-                    ),
-                    default=lambda y, cb, cr: generic(y, cb, cr),
-                )
-            else:
-                seg, nbits = generic(y, cb, cr)
-
-    with scope("bitpack_headers"):
-        vpos = xp.arange(1, mbh + 1, dtype=xp.uint8)
-        hdr = xp.stack(
-            [
-                xp.zeros((mbh,), xp.uint8),
-                xp.zeros((mbh,), xp.uint8),
-                xp.ones((mbh,), xp.uint8),
-                vpos,
-                xp.full((mbh,), (qscale & 0x1F) << 3, xp.uint8),
-            ],
-            axis=-1,
-        )  # (mbh, 5): 00 00 01 vpos [qscale<<1,'0' extra bit]<<2
-        hdr = xp.broadcast_to(hdr[None], (bsz, mbh, 5))
-        if xp is np:
-            seg[..., :5] |= hdr
-        else:
-            seg = seg.at[..., :5].set(seg[..., :5] | hdr)
-        return seg, nbits
+        return correct_pipeline_planes(
+            y, cb, cr, intra_q, qscale, max_slice_bytes, xp=xp,
+            dct_impl=dct_impl,
+        )
 
 
 @functools.lru_cache(maxsize=16)
@@ -533,6 +557,37 @@ def _jitted_correct_pipeline(
         )
 
     return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=16)
+def _jitted_planes_pipeline(
+    qscale: int, max_slice_bytes: int, dct_impl: str = "aan",
+):
+    import jax
+    import jax.numpy as jnp
+
+    def fn(y, cb, cr, intra_q):
+        return correct_pipeline_planes(
+            y, cb, cr, intra_q, qscale, max_slice_bytes, xp=jnp,
+            dct_impl=dct_impl,
+        )
+
+    return jax.jit(fn)
+
+
+def pad_planes_to_macroblocks(y, cb, cr):
+    """Edge-replicate 4:2:0 planes so Y is a multiple of 16 (chroma 8)."""
+    h, w = y.shape[1:3]
+    ph, pw = -h % 16, -w % 16
+    if ph or pw:
+        y = np.pad(y, ((0, 0), (0, ph), (0, pw)), mode="edge")
+    th, tw = y.shape[1] // 2, y.shape[2] // 2
+    ch, cw = cb.shape[1:3]
+    if (ch, cw) != (th, tw):
+        pad = ((0, 0), (0, th - ch), (0, tw - cw))
+        cb = np.pad(cb, pad, mode="edge")
+        cr = np.pad(cr, pad, mode="edge")
+    return y, cb, cr
 
 
 def sequence_header_es(
@@ -645,11 +700,27 @@ class MPEG1IntraEncoder:
             xp=np, dct_impl=self.dct_impl, color_range=self.color_range,
         )
 
+    def _planes_once(self, planes, msb: int):
+        y, cb, cr = planes
+        if self.backend == "jax":
+            fn = _jitted_planes_pipeline(self.qscale, msb, self.dct_impl)
+            return fn(y, cb, cr, self.intra_q)
+        return correct_pipeline_planes(
+            y, cb, cr, self.intra_q, self.qscale, msb,
+            xp=np, dct_impl=self.dct_impl,
+        )
+
     def _run_pipeline(self, padded: np.ndarray):
-        msb = self.resolve_slice_bytes(padded.shape[2] // 16)
+        return self._run_with_regrow(
+            lambda msb: self._pipeline_once(padded, msb),
+            padded.shape[2] // 16,
+        )
+
+    def _run_with_regrow(self, run_once, mbw: int):
+        msb = self.resolve_slice_bytes(mbw)
         need_bits = 0
         for _attempt in range(3):
-            seg_dev, bits_dev = self._pipeline_once(padded, msb)
+            seg_dev, bits_dev = run_once(msb)
             bits = np.asarray(bits_dev)
             if int(bits.min(initial=0)) < 0:
                 # EC504_DEBUG_CHECKS=1: in-kernel guards report violations
@@ -712,9 +783,14 @@ class MPEG1IntraEncoder:
             self.metrics.histogram("slice_bits", bits)
             # slice == one MB row, so bits/MB is the row total split evenly
             self.metrics.histogram("bits_per_macroblock", bits / mbw)
+        return self.assemble(seg, bits, disp_w, disp_h, first_frame_index)
 
+    def assemble(self, seg, bits, disp_w: int, disp_h: int,
+                 first_frame_index: int = 0) -> bytes:
+        """Host-side stream assembly from fetched (seg, bits): sequence/
+        GOP/picture headers + the used byte prefix of every slice."""
         out = bytearray()
-        for i in range(frames.shape[0]):
+        for i in range(seg.shape[0]):
             gi = first_frame_index + i
             if gi % self.gop_size == 0:
                 out += sequence_header_es(
@@ -727,6 +803,38 @@ class MPEG1IntraEncoder:
                 nb = (int(bits[i, s]) + 7) // 8
                 out += bytes(seg[i, s, :nb])
         return bytes(out)
+
+    def encode_from_planes(self, y, cb, cr,
+                           first_frame_index: int = 0) -> bytes:
+        """Encode 4:2:0 YCbCr planes directly (the JPEG-source fast
+        path; see correct_pipeline_planes): y (B, H, W) u8, cb/cr
+        (B, ceil(H/2), ceil(W/2)) u8 -> MPEG-1 video ES bytes."""
+        y = np.ascontiguousarray(y)
+        cb = np.ascontiguousarray(cb)
+        cr = np.ascontiguousarray(cr)
+        if y.ndim != 3 or y.dtype != np.uint8:
+            raise ValueError(f"expected (B,H,W) uint8 Y, got {y.shape} {y.dtype}")
+        disp_h, disp_w = y.shape[1:3]
+        exp = (y.shape[0], -(-disp_h // 2), -(-disp_w // 2))
+        if cb.shape != exp or cr.shape != exp:
+            raise ValueError(
+                f"chroma planes must be {exp}, got {cb.shape}/{cr.shape}"
+            )
+        if disp_w > MAX_WIDTH or disp_h > MAX_HEIGHT:
+            raise ValueError(
+                f"frame {disp_w}x{disp_h} exceeds MPEG-1 limits "
+                f"({MAX_WIDTH}x{MAX_HEIGHT})"
+            )
+        planes = pad_planes_to_macroblocks(y, cb, cr)
+        seg, bits = self._run_with_regrow(
+            lambda msb: self._planes_once(planes, msb),
+            planes[0].shape[2] // 16,
+        )
+        if self.metrics is not None:
+            mbw = planes[0].shape[2] // 16
+            self.metrics.histogram("slice_bits", bits)
+            self.metrics.histogram("bits_per_macroblock", bits / mbw)
+        return self.assemble(seg, bits, disp_w, disp_h, first_frame_index)
 
     def encode_to_file(self, frames_rgb: np.ndarray, path: str) -> int:
         data = self.encode(frames_rgb) + headers.sequence_end()
