@@ -83,10 +83,52 @@ def reference_psnr(frames_by_id, order):
     }
 
 
+def run_curve(frames, qualities=QUALITIES, cross_check=False):
+    """Encode the ladder, decode via cv2/FFmpeg (+ optionally our fast
+    verification decoder), PSNR vs source."""
+    from ec504_imageencoder_tpu.models.mpeg1 import MPEG1IntraEncoder
+
+    curve = []
+    with tempfile.TemporaryDirectory() as td:
+        for q in qualities:
+            print(f"[rd] q={q} {frames.shape}", file=sys.stderr, flush=True)
+            enc = MPEG1IntraEncoder(quality=q, backend="numpy")
+            path = f"{td}/q{q}.mpeg"
+            nbytes = enc.encode_to_file(frames, path)
+            dec = decode_cv2(path)
+            ps = [psnr(frames[i], dec[i]) for i in range(len(dec))]
+            point = {
+                "q": q,
+                "bytes_per_frame": nbytes // len(frames),
+                "psnr_db": round(float(np.mean(ps)), 2),
+                "frames_decoded": len(dec),
+            }
+            if cross_check:
+                # our own spec-derived decoder (models/decoder.py fast
+                # path) — validates the quality claim at this resolution
+                # independently of FFmpeg's error concealment
+                from ec504_imageencoder_tpu.models.decoder import (
+                    decode_es_fast,
+                )
+
+                ours = decode_es_fast(open(path, "rb").read())
+                ps2 = [psnr(frames[i], ours[i]) for i in range(len(ours))]
+                point["psnr_db_own_decoder"] = round(float(np.mean(ps2)), 2)
+            curve.append(point)
+    return curve
+
+
+def make_1080p(frames):
+    """Tile the 400x600 fixture content to 1920x1080 (real image
+    statistics at the production operating point, not noise)."""
+    b, h, w = frames.shape[:3]
+    ty, tx = -(-1080 // h), -(-1920 // w)
+    big = np.tile(frames, (1, ty, tx, 1))[:, :1080, :1920]
+    return np.ascontiguousarray(big)
+
+
 def main():
     import json as _json
-
-    from ec504_imageencoder_tpu.models.mpeg1 import MPEG1IntraEncoder
 
     z = np.load(REPO / "tests/golden/fixture_rgb.npz")
     order = _json.loads(
@@ -97,36 +139,38 @@ def main():
 
     ref = reference_psnr(frames_by_id, order)
 
-    curve = []
-    with tempfile.TemporaryDirectory() as td:
-        for q in QUALITIES:
-            enc = MPEG1IntraEncoder(quality=q, backend="numpy")
-            path = f"{td}/q{q}.mpeg"
-            nbytes = enc.encode_to_file(frames, path)
-            dec = decode_cv2(path)
-            ps = [psnr(frames[i], dec[i]) for i in range(len(dec))]
-            curve.append({
-                "q": q,
-                "bytes_per_frame": nbytes // len(frames),
-                "psnr_db": round(float(np.mean(ps)), 2),
-                "frames_decoded": len(dec),
-            })
+    curve = run_curve(frames)
+    uniq = np.stack([frames_by_id[k] for k in dict.fromkeys(order)])
+    frames_1080 = make_1080p(uniq)  # 3 unique frames at 1080p
+    curve_1080 = run_curve(frames_1080, qualities=(12, 25, 50, 75, 95),
+                           cross_check=True)
 
     ours_q12 = next(c for c in curve if c["q"] == 12)
+    q12_1080 = next(c for c in curve_1080 if c["q"] == 12)
     gate = {
         "reference_psnr_db": ref.get("psnr_db_best_alignment"),
         "ours_q12_psnr_db": ours_q12["psnr_db"],
+        "ours_q12_psnr_db_1080p": q12_1080["psnr_db"],
         "ours_beats_reference": (
             ref.get("psnr_db_best_alignment") is None
             or ours_q12["psnr_db"] >= ref["psnr_db_best_alignment"]
         ),
+        "ours_beats_reference_1080p": (
+            ref.get("psnr_db_best_alignment") is None
+            or q12_1080["psnr_db"] >= ref["psnr_db_best_alignment"]
+        ),
     }
     print(json.dumps({
         "inputs": "3 unique 400x600 fixture frames (stb-decoded golden RGB)",
-        "decoder": "cv2 (bundled FFmpeg), independent of this repo",
+        "inputs_1080p": "same content tiled to 1920x1080 (production "
+                        "operating point; r4 VERDICT item 6)",
+        "decoder": "cv2 (bundled FFmpeg), independent of this repo; "
+                   "1080p points cross-checked by models/decoder.py "
+                   "decode_es_fast",
         "reference_stream": ref,
         "comparative_gate": gate,
         "rd_curve": curve,
+        "rd_curve_1080p": curve_1080,
     }, indent=1))
 
 
