@@ -1,44 +1,44 @@
 #!/usr/bin/env python3
-"""Per-stage roofline accounting for the correct-mode 4x1080p pipeline.
+"""Per-stage roofline accounting for the production-point pipeline.
 
-Times each pipeline stage as its own jitted program on the attached TPU
-and pairs the measurement with an analytic minimum-HBM-traffic figure, so
-the distance to the bandwidth floor is explicit per stage (VERDICT r3
-item 1).  Stage boundaries match the production pipeline in
-models/mpeg1.py (_tpu_pipeline_from_planes):
+r5: every stage is timed with the IN-SCAN method (the op repeated G
+times inside one jitted lax.scan with a data dependency between steps),
+at the production operating point B=16, 8:1 slot fusion — the r4 table
+used single-dispatch minus-RTT at B=4/4:1, which the relay tunnel's
+±2-4 ms dispatch jitter polluted (r4 VERDICT item 4).  Stage boundaries
+match models/mpeg1.py _tpu_pipeline_from_planes (fuse8 branch):
 
-  color      packed-u32 colorspace + 4:2:0 subsample
+  color      packed-u32 colorspace + 4:2:0 reduce_window subsample
   blockize   u8 relayout into the kernels' px-major (R, 64, NB) layout
-  vlc        fused Pallas kernel (DCT+quant+zigzag+DC pred+VLC+4:1 fuse)
-  transpose  fused-slot stream transposition (XLA relayout)
-  pack       fused4 Pallas pack, in-kernel byte combine (emit_be)
-  serialize  words -> bytes bitcast + header OR
+  vlc        fused8 Pallas kernel (DCT+quant+zigzag+pred+VLC+8:1 fuse)
+  stream     fused8 slot-stack -> stream transposition (XLA relayout)
+  pack       fused8 pack kernel (in-kernel byte combine, emit_be)
+  serialize  byte-swapped words -> bytes bitcast
 
-Caveats: stage-sliced timing forces intermediates to HBM at every cut, so
-the sum of stages is an upper bound on the fused pipeline's time (XLA
-fuses color into fewer passes inside the full program); the "full"
-row is the authoritative end-to-end step.  Output: one JSON document
-(commit as ROOFLINE_r{N}.json) plus a markdown table on stderr for
-ARCHITECTURE.md.
+Also measured: the full RGB pipeline, and the full YCbCr-planes
+pipeline (the JPEG-source intake, which has no color/subsample stage at
+all).  Per-stage perturbation: the scan carry is the stage input plus a
+{0,1} bump derived from the previous output, which forces sequential
+execution without changing content statistics.
 
+Output: JSON (commit as ROOFLINE_r{N}.json) + markdown table on stderr.
 Run on the chip: python benchmarks/roofline.py
 """
 
 import json
 import os
+import pathlib
 import sys
 import time
-import pathlib
 
 import numpy as np
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-B, H, W = int(os.environ.get("EC504_BENCH_BATCH", "4")), 1088, 1920
-MSB = 20480          # max_slice_bytes (bench headroom value)
+B, H, W = int(os.environ.get("EC504_BENCH_BATCH", "16")), 1088, 1920
 QUALITY = 50
-ITERS = 5
+G = int(os.environ.get("EC504_ROOFLINE_SCAN", "20"))
 HBM_GBS = float(os.environ.get("EC504_HBM_GBS", "819"))  # v5e ~819 GB/s
 
 MB = 1024 * 1024
@@ -50,6 +50,8 @@ def main():
 
     from ec504_imageencoder_tpu.models.mpeg1 import (
         _jitted_correct_pipeline,
+        _jitted_planes_pipeline,
+        initial_slice_bytes,
         quality_to_quant,
     )
     from ec504_imageencoder_tpu.ops.bitpack import words_be_to_bytes
@@ -58,26 +60,22 @@ def main():
         rgb_to_ycbcr_packed,
         subsample_420,
     )
-    from ec504_imageencoder_tpu.ops.pallas_pack import pack_words_fused4_core
+    from ec504_imageencoder_tpu.ops.pallas_pack import pack_words_fused8_core
     from ec504_imageencoder_tpu.ops.pallas_vlc import (
-        fused_stack_to_stream,
-        vlc_fused_slots_from_blocks_tpu,
+        fused8_stack_to_stream,
+        vlc_fused8_slots_from_blocks_tpu,
     )
 
     mbh, mbw = H // 16, W // 16
     nb = mbw * 6
     r = B * mbh
+    msb = initial_slice_bytes(QUALITY, mbw)
     intra_q, qscale = quality_to_quant(QUALITY)
     qw = (intra_q.astype(np.int32) * qscale)
 
     dev = jax.devices()[0]
-    print(f"device: {dev}", file=sys.stderr)
-    # warm the runtime (first compile+fetch pays a big tunnel cost)
+    print(f"device: {dev}  B={B} msb={msb} scan={G}", file=sys.stderr)
     float(np.asarray(jax.jit(lambda x: x + 1.0)(jnp.float32(1.0))))
-
-    def sync(out):
-        leaves = jax.tree_util.tree_leaves(out)
-        return np.asarray(leaves[-1].ravel()[:8])
 
     tiny = jax.jit(lambda x: x + 1)
     tiny_in = jax.device_put(np.int32(1))
@@ -88,18 +86,38 @@ def main():
     rtt = (time.perf_counter() - t0) / 3
     print(f"dispatch+fetch rtt: {rtt*1e3:.1f} ms", file=sys.stderr)
 
-    def timeit(name, fn, *args):
+    def sync(out):
+        leaves = jax.tree_util.tree_leaves(out)
+        return np.asarray(leaves[-1].ravel()[:8])
+
+    def in_scan(name, f, args, bumpable=0):
+        """Time f(*args) repeated G times in one scan; returns s/step.
+
+        args[bumpable] is perturbed by a {0,1} bump computed from the
+        previous output (data dependency without content drift)."""
+
+        def body(c, _):
+            out = f(*c)
+            first = jax.tree_util.tree_leaves(out)[0]
+            bump = (first.ravel()[:64].astype(jnp.int32).sum() & 1).astype(
+                c[bumpable].dtype
+            )
+            c2 = list(c)
+            c2[bumpable] = c[bumpable] + bump
+            return tuple(c2), first.ravel()[0]
+
+        fn = jax.jit(lambda *a: jax.lax.scan(body, a, None, length=G))
         out = fn(*args)
-        sync(out)                      # compile + first run
+        sync(out[1])  # compile + first run
         times = []
-        for _ in range(ITERS):
+        for _ in range(3):
             t0 = time.perf_counter()
             out = fn(*args)
-            sync(out)
+            sync(out[1])
             times.append(time.perf_counter() - t0)
-        step = max(min(times) - rtt, 1e-7)
-        print(f"  {name}: {step*1e3:.3f} ms", file=sys.stderr)
-        return step, out
+        step = max((min(times) - rtt) / G, 1e-7)
+        print(f"  {name}: {step*1e3:.3f} ms/step (in-scan)", file=sys.stderr)
+        return step
 
     # ---- inputs on device -------------------------------------------------
     def hash_frames():
@@ -131,24 +149,30 @@ def main():
             "note": note,
         })
 
-    # full pipeline (authoritative)
-    full = _jitted_correct_pipeline(qscale, MSB)
-    t_full, _ = timeit("full pipeline", full, frames, intra_dev)
+    # full pipelines (authoritative)
+    full = _jitted_correct_pipeline(qscale, msb)
+    t_full = in_scan("full RGB pipeline", lambda f: full(f, intra_dev),
+                     (frames,))
 
-    # color + subsample
-    @jax.jit
-    def color(rgb):
+    def color_fn(rgb):
         pix = pack_rgbx_u32(rgb, jnp)
         y, cb, cr = rgb_to_ycbcr_packed(pix, jnp, "studio")
         return y, subsample_420(cb, jnp), subsample_420(cr, jnp)
 
-    t_color, planes = timeit("color+subsample", color, frames)
-    n_px = B * H * W
-    add("color+subsample", t_color, n_px * 3, n_px + n_px // 2,
-        "read interleaved u8 as packed u32; write y + half-res cb,cr")
+    planes = jax.jit(color_fn)(frames)
+    sync(planes)
 
-    # blockize relayout
-    @jax.jit
+    planes_fn = _jitted_planes_pipeline(qscale, msb)
+    t_planes_full = in_scan(
+        "full planes pipeline (JPEG intake)",
+        lambda y, cb, cr: planes_fn(y, cb, cr, intra_dev), tuple(planes))
+
+    n_px = B * H * W
+    t_color = in_scan("color+subsample", color_fn, (frames,))
+    add("color+subsample", t_color, n_px * 3, n_px * 3 // 2,
+        "read interleaved u8 as packed u32; write y + half-res cb,cr; "
+        "absent from the planes intake")
+
     def blockize(y, cb, cr):
         bsz = y.shape[0]
         lg = y.reshape(bsz, mbh, 2, 8, mbw, 2, 8)
@@ -157,74 +181,78 @@ def main():
             bsz, mbh, 64, mbw, 1)
         crb = cr.reshape(bsz, mbh, 8, mbw, 8).transpose(0, 1, 4, 2, 3).reshape(
             bsz, mbh, 64, mbw, 1)
-        return jnp.concatenate([luma, cbb, crb], axis=-1).reshape(bsz * mbh, 64, nb)
+        return jnp.concatenate([luma, cbb, crb], axis=-1).reshape(
+            bsz * mbh, 64, nb)
 
-    t_blk, blocks = timeit("blockize (u8 relayout)", blockize, *planes)
+    blocks = jax.jit(blockize)(*planes)
+    sync(blocks)
+    t_blk = in_scan("blockize", blockize, tuple(planes))
     add("blockize", t_blk, n_px * 3 // 2, n_px * 3 // 2, "pure u8 relayout")
 
-    # VLC kernel
-    @jax.jit
     def vlc(blocks):
-        return vlc_fused_slots_from_blocks_tpu(blocks, qw_dev)
+        return vlc_fused8_slots_from_blocks_tpu(blocks, qw_dev)
 
-    t_vlc, (vstack, flens) = timeit("vlc kernel (fused)", vlc, blocks)
+    vstack, flens = jax.jit(vlc)(blocks)
+    sync(flens)
+    t_vlc = in_scan("vlc kernel (fused8)", vlc, (blocks,))
     vstack_b = r * 64 * nb * 4
-    flens_b = r * 16 * nb * 4
+    flens_b = r * 8 * nb * 4
     add("vlc kernel", t_vlc, n_px * 3 // 2, vstack_b + flens_b,
-        "DCT+quant+zigzag+pred+VLC+4:1 fuse in VMEM")
+        "DCT+quant+zigzag+pred+VLC+8:1 fuse in VMEM")
 
-    # stream transpose
-    @jax.jit
-    def stream(vstack, flens):
-        return fused_stack_to_stream(vstack, flens)
-
-    t_str, streams = timeit("stream transpose", stream, vstack, flens)
+    vs, fl = jax.jit(fused8_stack_to_stream)(vstack, flens)
+    sync(fl)
+    t_str = in_scan("stream transpose", fused8_stack_to_stream,
+                    (vstack, flens))
     add("stream transpose", t_str, vstack_b + flens_b, vstack_b + flens_b,
         "XLA tiled transpose of fused slots")
 
-    # pack
-    @jax.jit
-    def pack(v0, v1, v2, v3, fl):
-        return pack_words_fused4_core(v0, v1, v2, v3, fl, MSB // 4,
-                                      bit_offset=38, emit_be=True)
+    def pack(vs, fl):
+        return pack_words_fused8_core(vs, fl, msb // 4, bit_offset=38)
 
-    t_pack, (words, nbits) = timeit("pack (fused4 emit_be)", pack, *streams)
-    words_b = B * mbh * MSB
+    words, nbits = jax.jit(pack)(vs, fl)
+    sync(nbits)
+    t_pack = in_scan("pack (fused8)", pack, (vs, fl), bumpable=1)
+    words_b = B * mbh * msb
     add("pack", t_pack, vstack_b + flens_b, words_b,
-        "incl. XLA cumsum prep; MXU one-hot scatter in kernel")
+        "incl. XLA cumsum prep; in-kernel byte combine (emit_be)")
 
-    # serialize
-    @jax.jit
-    def serialize(words):
-        return words_be_to_bytes(words)
+    t_ser = in_scan("serialize", lambda w: words_be_to_bytes(w), (words,))
+    add("serialize", t_ser, words_b, words_b, "pure bitcast")
 
-    t_ser, _ = timeit("serialize (bitcast)", serialize, words)
-    add("serialize", t_ser, words_b, words_b, "words->bytes bitcast")
-
-    t_sum = sum(x["ms"] for x in rows) / 1e3
+    # compute-floor model for the pack stage: the one-hot MXU placement
+    # streams one column per fused slot; columns/s bounds the stage.
+    kf = r * (64 * nb // 8)  # fused8 slots
     doc = {
-        "config": f"{B}x1080p q={QUALITY} msb={MSB}",
+        "config": f"{B}x1080p q={QUALITY} msb={msb} fuse=8",
+        "method": "in_scan",
+        "scan_len": G,
         "device": str(dev),
         "hbm_gbs_assumed": HBM_GBS,
         "full_pipeline_ms": round(t_full * 1e3, 3),
         "fps": round(B / t_full, 1),
-        "stage_sum_ms": round(t_sum * 1e3, 3),
-        "fusion_gain_ms": round((t_sum - t_full) * 1e3, 3),
+        "full_planes_pipeline_ms": round(t_planes_full * 1e3, 3),
+        "fps_planes_intake": round(B / t_planes_full, 1),
+        "stage_sum_ms": round(sum(x["ms"] for x in rows), 3),
+        "pack_floor": {
+            "fused_slots": kf,
+            "model": "one MXU column-cycle per fused slot",
+            "measured_ns_per_slot": round(t_pack / kf * 1e9, 3),
+        },
         "stages": rows,
     }
     print(json.dumps(doc, indent=1))
 
-    # markdown for ARCHITECTURE.md
-    print("\n| stage | ms | HBM r+w MB | BW floor ms | x floor | note |",
+    print("\n| stage | in-scan ms | HBM r+w MB | BW floor ms | x floor |",
           file=sys.stderr)
-    print("|---|---|---|---|---|---|", file=sys.stderr)
+    print("|---|---|---|---|---|", file=sys.stderr)
     for x in rows:
         print(f"| {x['stage']} | {x['ms']} | "
               f"{x['hbm_read_mb'] + x['hbm_write_mb']:.1f} | "
-              f"{x['bw_floor_ms']} | {x['x_over_floor']} | {x['note']} |",
-              file=sys.stderr)
-    print(f"| **full (fused)** | **{doc['full_pipeline_ms']}** | | | | "
-          f"sum of stages {doc['stage_sum_ms']} ms |", file=sys.stderr)
+              f"{x['bw_floor_ms']} | {x['x_over_floor']} |", file=sys.stderr)
+    print(f"| full RGB | {doc['full_pipeline_ms']} | | | |", file=sys.stderr)
+    print(f"| full planes | {doc['full_planes_pipeline_ms']} | | | |",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":
