@@ -179,7 +179,13 @@ def measure_tpu_1080p() -> dict:
         def body(c, _):
             seg, bits = correct_pipeline(c, intra, qscale, max_slice_bytes,
                                          xp=jnp)
-            bump = (bits.sum() & 0xFF).astype(jnp.uint8)
+            # the bump MUST consume seg: r1-r4 bumped from `bits` alone,
+            # which derives from the length cumsum — XLA dead-code-
+            # eliminated the entire pack placement and inflated the
+            # sustained figure ~4x (r4's 1196 fps was really ~270)
+            bump = ((bits.sum()
+                     + seg.ravel()[:256].astype(jnp.int32).sum())
+                    & 0xFF).astype(jnp.uint8)
             return (c + bump).astype(jnp.uint8), bits[0, 0]
         c, hist = jax.lax.scan(body, frames, None, length=G)
         return c, hist
@@ -210,10 +216,11 @@ def measure_tpu_1080p() -> dict:
         "fps_sustained": BATCH / sus_step,
         "step_s": sus_step,
         # methodology marker: r1-r3 keyed "fps"/"step_s" to single-dispatch
-        # minus-RTT; since r4 they are the sustained-scan figure (the only
-        # reliable method on this relay tunnel).  Cross-round tooling
-        # should compare like methods only.
-        "method": "sustained_scan",
+        # minus-RTT; r4 used a sustained scan whose bump consumed only the
+        # bit counts, letting XLA dead-code-eliminate the pack kernel
+        # (inflating the figure ~4x).  Since r5 the scan consumes the
+        # segment bytes too — compare only like methods across rounds.
+        "method": "sustained_scan_consume_all",
         # raw single-dispatch wall time (includes the 25-36 ms variable
         # tunnel dispatch+fetch overhead; kept for context, not a metric)
         "dispatch_iter_min_s": min(times),

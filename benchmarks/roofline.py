@@ -3,16 +3,16 @@
 
 r5: every stage is timed with the IN-SCAN method (the op repeated G
 times inside one jitted lax.scan with a data dependency between steps),
-at the production operating point B=16, 8:1 slot fusion — the r4 table
+at the production operating point B=16, 4:1 slot fusion (the honest r5 default) — the r4 table
 used single-dispatch minus-RTT at B=4/4:1, which the relay tunnel's
 ±2-4 ms dispatch jitter polluted (r4 VERDICT item 4).  Stage boundaries
-match models/mpeg1.py _tpu_pipeline_from_planes (fuse8 branch):
+match models/mpeg1.py _tpu_pipeline_from_planes (fused4 default):
 
   color      packed-u32 colorspace + 4:2:0 reduce_window subsample
-  blockize   u8 relayout into the kernels' px-major (R, 64, NB) layout
-  vlc        fused8 Pallas kernel (DCT+quant+zigzag+pred+VLC+8:1 fuse)
-  stream     fused8 slot-stack -> stream transposition (XLA relayout)
-  pack       fused8 pack kernel (in-kernel byte combine, emit_be)
+  blockize   width-packed u32 relayout into the kernels' (R, 16, NB) layout
+  vlc        fused4 Pallas kernel (DCT+quant+zigzag+pred+VLC+4:1 fuse)
+  stream     fused slot-stack -> stream transposition (XLA relayout)
+  pack       fused4 pack kernel (in-kernel byte combine, emit_be)
   serialize  byte-swapped words -> bytes bitcast
 
 Also measured: the full RGB pipeline, and the full YCbCr-planes
@@ -60,10 +60,10 @@ def main():
         rgb_to_ycbcr_packed,
         subsample_420,
     )
-    from ec504_imageencoder_tpu.ops.pallas_pack import pack_words_fused8_core
+    from ec504_imageencoder_tpu.ops.pallas_pack import pack_words_fused4_core
     from ec504_imageencoder_tpu.ops.pallas_vlc import (
-        fused8_stack_to_stream,
-        vlc_fused8_slots_from_blocks_tpu,
+        fused_stack_to_stream,
+        vlc_fused_slots_from_blocks_tpu,
     )
 
     mbh, mbw = H // 16, W // 16
@@ -98,13 +98,21 @@ def main():
 
         def body(c, _):
             out = f(*c)
-            first = jax.tree_util.tree_leaves(out)[0]
-            bump = (first.ravel()[:64].astype(jnp.int32).sum() & 1).astype(
-                c[bumpable].dtype
-            )
+            leaves = jax.tree_util.tree_leaves(out)
+            # consume EVERY output leaf IN FULL: a bump from one leaf —
+            # or from a slice — lets XLA dead-code-eliminate or
+            # slice-propagate through pure-XLA stages (reshapes,
+            # transposes, elementwise) and compute only the sliced
+            # elements; the full reduction adds ~one HBM read pass of
+            # the outputs to each stage (bounded by its bw floor), which
+            # the x_over_floor column absorbs.  Pallas stages are opaque
+            # and unaffected.  (r4's bits-only bump was the extreme
+            # case: it hid the whole pack kernel.)
+            bump = (sum(l.astype(jnp.int32).sum() for l in leaves)
+                    & 1).astype(c[bumpable].dtype)
             c2 = list(c)
             c2[bumpable] = c[bumpable] + bump
-            return tuple(c2), first.ravel()[0]
+            return tuple(c2), leaves[0].ravel()[0]
 
         fn = jax.jit(lambda *a: jax.lax.scan(body, a, None, length=G))
         out = fn(*args)
@@ -174,45 +182,56 @@ def main():
         "absent from the planes intake")
 
     def blockize(y, cb, cr):
+        # width-packed u32 relayout (production default since r5)
         bsz = y.shape[0]
-        lg = y.reshape(bsz, mbh, 2, 8, mbw, 2, 8)
-        luma = lg.transpose(0, 1, 6, 3, 4, 2, 5).reshape(bsz, mbh, 64, mbw, 4)
-        cbb = cb.reshape(bsz, mbh, 8, mbw, 8).transpose(0, 1, 4, 2, 3).reshape(
-            bsz, mbh, 64, mbw, 1)
-        crb = cr.reshape(bsz, mbh, 8, mbw, 8).transpose(0, 1, 4, 2, 3).reshape(
-            bsz, mbh, 64, mbw, 1)
-        return jnp.concatenate([luma, cbb, crb], axis=-1).reshape(
-            bsz * mbh, 64, nb)
+        yq = jax.lax.bitcast_convert_type(
+            y.reshape(bsz, H, W // 4, 4), jnp.uint32)
+        lg = yq.reshape(bsz, mbh, 2, 8, mbw, 2, 2)
+        luma = lg.transpose(0, 1, 6, 3, 4, 2, 5).reshape(
+            bsz, mbh, 16, mbw, 4)
+
+        def chroma_q(p):
+            pq = jax.lax.bitcast_convert_type(
+                p.reshape(bsz, H // 2, W // 8, 4), jnp.uint32)
+            g = pq.reshape(bsz, mbh, 8, mbw, 2)
+            return g.transpose(0, 1, 4, 2, 3).reshape(bsz, mbh, 16, mbw, 1)
+
+        return jnp.concatenate(
+            [luma, chroma_q(cb), chroma_q(cr)], axis=-1).reshape(
+            bsz * mbh, 16, nb)
 
     blocks = jax.jit(blockize)(*planes)
     sync(blocks)
     t_blk = in_scan("blockize", blockize, tuple(planes))
-    add("blockize", t_blk, n_px * 3 // 2, n_px * 3 // 2, "pure u8 relayout")
+    add("blockize", t_blk, n_px * 3 // 2, n_px * 3 // 2,
+        "width-packed u32 relayout (r5; u8 variant was ~2x)")
 
     def vlc(blocks):
-        return vlc_fused8_slots_from_blocks_tpu(blocks, qw_dev)
+        return vlc_fused_slots_from_blocks_tpu(blocks, qw_dev)
 
     vstack, flens = jax.jit(vlc)(blocks)
     sync(flens)
-    t_vlc = in_scan("vlc kernel (fused8)", vlc, (blocks,))
+    t_vlc = in_scan("vlc kernel (fused4)", vlc, (blocks,))
     vstack_b = r * 64 * nb * 4
-    flens_b = r * 8 * nb * 4
+    flens_b = r * 16 * nb * 4
     add("vlc kernel", t_vlc, n_px * 3 // 2, vstack_b + flens_b,
-        "DCT+quant+zigzag+pred+VLC+8:1 fuse in VMEM")
+        "DCT+quant+zigzag+pred+VLC+4:1 fuse in VMEM")
 
-    vs, fl = jax.jit(fused8_stack_to_stream)(vstack, flens)
-    sync(fl)
-    t_str = in_scan("stream transpose", fused8_stack_to_stream,
+    streams = jax.jit(fused_stack_to_stream)(vstack, flens)
+    sync(streams[-1])
+    t_str = in_scan("stream transpose", fused_stack_to_stream,
                     (vstack, flens))
     add("stream transpose", t_str, vstack_b + flens_b, vstack_b + flens_b,
         "XLA tiled transpose of fused slots")
 
-    def pack(vs, fl):
-        return pack_words_fused8_core(vs, fl, msb // 4, bit_offset=38)
+    def pack(v0, v1, v2, v3, fl):
+        return pack_words_fused4_core(v0, v1, v2, v3, fl, msb // 4,
+                                      bit_offset=38, emit_be=True)
 
-    words, nbits = jax.jit(pack)(vs, fl)
+    words, nbits = jax.jit(pack)(*streams)
     sync(nbits)
-    t_pack = in_scan("pack (fused8)", pack, (vs, fl), bumpable=1)
+    t_pack = in_scan("pack (fused4 emit_be)", pack, tuple(streams),
+                     bumpable=4)
     words_b = B * mbh * msb
     add("pack", t_pack, vstack_b + flens_b, words_b,
         "incl. XLA cumsum prep; in-kernel byte combine (emit_be)")
@@ -222,9 +241,9 @@ def main():
 
     # compute-floor model for the pack stage: the one-hot MXU placement
     # streams one column per fused slot; columns/s bounds the stage.
-    kf = r * (64 * nb // 8)  # fused8 slots
+    kf = r * (64 * nb // 4)  # fused4 slots
     doc = {
-        "config": f"{B}x1080p q={QUALITY} msb={msb} fuse=8",
+        "config": f"{B}x1080p q={QUALITY} msb={msb} fuse=4 blockize=packed-u32",
         "method": "in_scan",
         "scan_len": G,
         "device": str(dev),

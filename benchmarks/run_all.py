@@ -185,7 +185,11 @@ def config6_batch_curve():
         def scan_fn(frames, intra):
             def body(c, _):
                 seg, bits = correct_pipeline(c, intra, qscale, 20480, xp=jnp)
-                bump = (bits.sum() & 0xFF).astype(jnp.uint8)
+                # consume seg or XLA dead-code-eliminates the pack (the
+                # r4 methodology bug; see bench.py)
+                bump = ((bits.sum()
+                         + seg.ravel()[:256].astype(jnp.int32).sum())
+                        & 0xFF).astype(jnp.uint8)
                 return (c + bump).astype(jnp.uint8), bits[0, 0]
 
             _, hist = jax.lax.scan(body, frames, None, length=g)

@@ -301,20 +301,46 @@ def _tpu_pipeline_from_planes(y, cb, cr, intra_q, qscale, max_slice_bytes):
         # order (1.4 ms vs one sequential pass + one tiled transpose)
         y, cb, cr = jax.lax.optimization_barrier((y, cb, cr))
 
-    # blockize straight into the kernels' (B*mbh, 64, NB) u8 px-major row
-    # layout (row = px*8 + py): 64 sublanes are u8-tile-exact, where the
-    # old (..., 8, 8, NB) layout padded its 8-sublane tile to 32 (4x HBM)
-    lg = y.reshape(bsz, mbh, 2, 8, mbw, 2, 8)        # [b,my,y2,py,mx,x2,px]
-    luma = lg.transpose(0, 1, 6, 3, 4, 2, 5).reshape(bsz, mbh, 64, mbw, 4)
-    cbb = cb.reshape(bsz, mbh, 8, mbw, 8).transpose(0, 1, 4, 2, 3).reshape(
-        bsz, mbh, 64, mbw, 1
-    )
-    crb = cr.reshape(bsz, mbh, 8, mbw, 8).transpose(0, 1, 4, 2, 3).reshape(
-        bsz, mbh, 64, mbw, 1
-    )
-    blocks = jnp.concatenate([luma, cbb, crb], axis=-1).reshape(
-        bsz * mbh, 64, nb
-    )
+    if os.environ.get("EC504_BLOCKIZE_PACK", "1") == "1":
+        # width-packed u32 blockize into the kernels' (B*mbh, 16, NB)
+        # layout (sublane = (px//4)*8 + py, byte px%4): relayouting u32
+        # elements instead of u8 halves the transpose cost (honest
+        # in-scan A/B at 16x1080p: 5.4 vs 10.7 ms), and the kernels
+        # extract the px bytes in VMEM where the u8->i32 convert
+        # happened anyway (pallas_vlc packed=True)
+        yq = jax.lax.bitcast_convert_type(
+            y.reshape(bsz, h, w // 4, 4), jnp.uint32
+        )
+        lg = yq.reshape(bsz, mbh, 2, 8, mbw, 2, 2)   # [b,my,y2,py,mx,x2,pxq]
+        luma = lg.transpose(0, 1, 6, 3, 4, 2, 5).reshape(
+            bsz, mbh, 16, mbw, 4
+        )
+
+        def chroma_q(p):
+            pq = jax.lax.bitcast_convert_type(
+                p.reshape(bsz, h // 2, w // 8, 4), jnp.uint32
+            )
+            g = pq.reshape(bsz, mbh, 8, mbw, 2)
+            return g.transpose(0, 1, 4, 2, 3).reshape(bsz, mbh, 16, mbw, 1)
+
+        blocks = jnp.concatenate(
+            [luma, chroma_q(cb), chroma_q(cr)], axis=-1
+        ).reshape(bsz * mbh, 16, nb)
+    else:
+        # u8 px-major (row = px*8 + py): 64 sublanes are u8-tile-exact,
+        # where the old (..., 8, 8, NB) layout padded its 8-sublane tile
+        # to 32 (4x HBM)
+        lg = y.reshape(bsz, mbh, 2, 8, mbw, 2, 8)    # [b,my,y2,py,mx,x2,px]
+        luma = lg.transpose(0, 1, 6, 3, 4, 2, 5).reshape(bsz, mbh, 64, mbw, 4)
+        cbb = cb.reshape(bsz, mbh, 8, mbw, 8).transpose(0, 1, 4, 2, 3).reshape(
+            bsz, mbh, 64, mbw, 1
+        )
+        crb = cr.reshape(bsz, mbh, 8, mbw, 8).transpose(0, 1, 4, 2, 3).reshape(
+            bsz, mbh, 64, mbw, 1
+        )
+        blocks = jnp.concatenate([luma, cbb, crb], axis=-1).reshape(
+            bsz * mbh, 64, nb
+        )
 
     # one kernel per slice row: DCT + quantize + zigzag + DC prediction +
     # VLC emission (+ slot fusion), all in VMEM
@@ -327,13 +353,15 @@ def _tpu_pipeline_from_planes(y, cb, cr, intra_q, qscale, max_slice_bytes):
     # kernels carry no guard wiring, so debug mode routes through the
     # guarded fused4 path below (debug-mode throughput is not the point).
     debug = os.environ.get("EC504_DEBUG_CHECKS", "0") == "1"
-    # 8:1 slot fusion is the production default since the B=16 sustained
-    # A/B (2026-08: 14.64 ms vs fused4's 15.27 ms per 16x1080p step;
-    # byte-identical on chip).  At B=4 the ranking was reversed (S=32
-    # superchunks waste lanes, pallas_pack.py v6 notes) — EC504_FUSE=4
-    # restores the 4:1 path for small-batch workloads.
+    # 4:1 slot fusion is the production default.  r4 made fused8 the
+    # default from a sustained-scan A/B whose bump consumed only `bits`
+    # — XLA dead-code-eliminated the pack placement, so those numbers
+    # (14.64 vs 15.27 ms) compared pipelines WITHOUT the pack kernel.
+    # The honest r5 A/B (scan bump consumes seg bytes too) at 16x1080p:
+    # fused4 31.9 ms vs fused8 53.9 ms for blocks->bytes — fused8's
+    # S=32 superchunks starve 96 of 128 lanes in every pack-prep op.
     fuse8 = (kfuse and not debug
-             and os.environ.get("EC504_FUSE", "8") == "8")
+             and os.environ.get("EC504_FUSE", "4") == "8")
     if fuse8:
         from ec504_imageencoder_tpu.ops.bitpack import words_be_to_bytes
         from ec504_imageencoder_tpu.ops.pallas_pack import pack_words_fused8_core

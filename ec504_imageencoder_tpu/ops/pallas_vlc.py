@@ -357,12 +357,27 @@ def blocks_to_px64(blocks):
     return blocks.transpose(0, 2, 1, 3).reshape(r, 64, nb)
 
 
+def px64_to_packed16(blocks):
+    """Test helper: (R, 64, NB) u8 px-major rows -> the packed-u32
+    (R, 16, NB) layout (sublane = (px//4)*8 + py, byte px%4)."""
+    r, _, nb = blocks.shape
+    b = blocks.astype(np.uint32).reshape(r, 2, 4, 8, nb)  # [pxq, i, py]
+    out = np.zeros((r, 2, 8, nb), np.uint32)
+    for i in range(4):
+        out |= b[:, :, i] << np.uint32(8 * i)
+    return out.reshape(r, 16, nb)
+
+
 def _aan_f_rows(x):
     """In-kernel integer AAN forward DCT, bit-identical to ops.dct.aan_dct:
     (64, NB) px-major pixel rows -> list f[v] of (8u, NB) coefficient rows."""
-    from ec504_imageencoder_tpu.ops.dct import _aan_butterfly
-
     a = [x[8 * k : 8 * (k + 1), :] for k in range(8)]
+    return _aan_f_rows_a(a)
+
+
+def _aan_f_rows_a(a):
+    """AAN forward DCT from the 8 per-px (8py, NB) i32 row groups."""
+    from ec504_imageencoder_tpu.ops.dct import _aan_butterfly
     e0, e4, e2, e6, o1, o5, o7, o3 = _aan_butterfly(a, jnp)
     rows = [None] * 8
     rows[0] = e0
@@ -389,9 +404,25 @@ def _aan_f_rows(x):
 
 
 def _vlc_blocks_core(blk_ref, qw_ref, comp_ref, tmat_ref, nb: int,
-                     zpos: tuple, viol_out: list | None = None):
-    x = blk_ref[0].astype(jnp.int32)                 # (64, NB), row=px*8+py
-    f = _aan_f_rows(x)
+                     zpos: tuple, viol_out: list | None = None,
+                     packed: bool = False):
+    if packed:
+        # (16, NB) u32 width-packed rows (sublane = (px//4)*8 + py, byte
+        # px%4): the host-side u32 relayout is ~2x cheaper than the u8
+        # one (u8 sublane shuffles are the relayout worst case), and the
+        # per-px byte extraction replaces the u8->i32 convert
+        xq = blk_ref[0]
+        a = [
+            (jax.lax.shift_right_logical(
+                xq[8 * (px // 4) : 8 * (px // 4) + 8, :],
+                jnp.uint32(8 * (px % 4))) & jnp.uint32(0xFF)
+             ).astype(jnp.int32)
+            for px in range(8)
+        ]
+        f = _aan_f_rows_a(a)
+    else:
+        x = blk_ref[0].astype(jnp.int32)             # (64, NB), row=px*8+py
+        f = _aan_f_rows(x)
 
     # ---- ISO intra quantization + zigzag ---------------------------------
     # DC: step 8, rounded; AC: round-half-up(16|F| / 2 qscale W), clamped.
@@ -435,9 +466,10 @@ def _vlc_blocks_core(blk_ref, qw_ref, comp_ref, tmat_ref, nb: int,
 
 
 def _vlc_blocks_kernel(blk_ref, qw_ref, comp_ref, tmat_ref, code_ref,
-                       len_ref, *, nb: int, zpos: tuple):
+                       len_ref, *, nb: int, zpos: tuple,
+                       packed: bool = False):
     codes, lens = _vlc_blocks_core(blk_ref, qw_ref, comp_ref, tmat_ref,
-                                   nb, zpos)
+                                   nb, zpos, packed=packed)
     code_ref[0] = codes
     len_ref[0] = lens
 
@@ -452,15 +484,16 @@ def vlc_from_blocks_tpu(blocks, qw_scaled, interpret: bool = False):
     from ec504_imageencoder_tpu.utils.tables import ZIGZAG_GATHER
 
     r, s0, nb = blocks.shape
-    assert s0 == 64
+    assert s0 in (64, 16)  # 64 = u8 px-major rows, 16 = width-packed u32
+    packed = s0 == 16
     zpos = tuple((int(k) // 8, int(k) % 8) for k in ZIGZAG_GATHER)
     tmat = jnp.asarray(_tmat_np()).astype(jnp.bfloat16)
     comp = (jnp.arange(nb, dtype=jnp.int32) % 6).reshape(1, nb)
     codes, lens = pl.pallas_call(
-        functools.partial(_vlc_blocks_kernel, nb=nb, zpos=zpos),
+        functools.partial(_vlc_blocks_kernel, nb=nb, zpos=zpos, packed=packed),
         grid=(r,),
         in_specs=[
-            pl.BlockSpec((1, 64, nb), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, s0, nb), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nb), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -521,10 +554,12 @@ def _fuse4_in_kernel(codes, lens, nb):
 
 
 def _vlc_blocks_fused_kernel(blk_ref, qw_ref, comp_ref, tmat_ref, v_ref,
-                             fl_ref, *maybe_viol, nb: int, zpos: tuple):
+                             fl_ref, *maybe_viol, nb: int, zpos: tuple,
+                             packed: bool = False):
     viol_out = [] if maybe_viol else None
     codes, lens = _vlc_blocks_core(blk_ref, qw_ref, comp_ref, tmat_ref,
-                                   nb, zpos, viol_out=viol_out)
+                                   nb, zpos, viol_out=viol_out,
+                                   packed=packed)
     v0, v1, v2, v3, flens = _fuse4_in_kernel(codes, lens, nb)
     v_ref[0] = jnp.concatenate([v0, v1, v2, v3], axis=0)   # (64, NB)
     fl_ref[0] = flens
@@ -545,7 +580,8 @@ def vlc_fused_slots_from_blocks_tpu(blocks, qw_scaled, interpret: bool = False,
     from ec504_imageencoder_tpu.utils.tables import ZIGZAG_GATHER
 
     r, s0, nb = blocks.shape
-    assert s0 == 64
+    assert s0 in (64, 16)  # 64 = u8 px-major rows, 16 = width-packed u32
+    packed = s0 == 16
     zpos = tuple((int(k) // 8, int(k) % 8) for k in ZIGZAG_GATHER)
     tmat = jnp.asarray(_tmat_np()).astype(jnp.bfloat16)
     comp = (jnp.arange(nb, dtype=jnp.int32) % 6).reshape(1, nb)
@@ -563,10 +599,10 @@ def vlc_fused_slots_from_blocks_tpu(blocks, qw_scaled, interpret: bool = False,
         )
         out_shape.append(jax.ShapeDtypeStruct((r, 1, nb), jnp.int32))
     out = pl.pallas_call(
-        functools.partial(_vlc_blocks_fused_kernel, nb=nb, zpos=zpos),
+        functools.partial(_vlc_blocks_fused_kernel, nb=nb, zpos=zpos, packed=packed),
         grid=(r,),
         in_specs=[
-            pl.BlockSpec((1, 64, nb), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, s0, nb), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nb), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -626,9 +662,10 @@ def _fuse8_in_kernel(v0, v1, v2, v3, flens):
 
 
 def _vlc_blocks_fused8_kernel(blk_ref, qw_ref, comp_ref, tmat_ref, v_ref,
-                              fl_ref, *, nb: int, zpos: tuple):
+                              fl_ref, *, nb: int, zpos: tuple,
+                              packed: bool = False):
     codes, lens = _vlc_blocks_core(blk_ref, qw_ref, comp_ref, tmat_ref,
-                                   nb, zpos)
+                                   nb, zpos, packed=packed)
     v0, v1, v2, v3, flens4 = _fuse4_in_kernel(codes, lens, nb)
     w, flens = _fuse8_in_kernel(v0, v1, v2, v3, flens4)
     v_ref[0] = jnp.concatenate(w, axis=0)            # (64, NB)
@@ -643,15 +680,16 @@ def vlc_fused8_slots_from_blocks_tpu(blocks, qw_scaled, interpret: bool = False)
     from ec504_imageencoder_tpu.utils.tables import ZIGZAG_GATHER
 
     r, s0, nb = blocks.shape
-    assert s0 == 64
+    assert s0 in (64, 16)  # 64 = u8 px-major rows, 16 = width-packed u32
+    packed = s0 == 16
     zpos = tuple((int(k) // 8, int(k) % 8) for k in ZIGZAG_GATHER)
     tmat = jnp.asarray(_tmat_np()).astype(jnp.bfloat16)
     comp = (jnp.arange(nb, dtype=jnp.int32) % 6).reshape(1, nb)
     vstack, flens = pl.pallas_call(
-        functools.partial(_vlc_blocks_fused8_kernel, nb=nb, zpos=zpos),
+        functools.partial(_vlc_blocks_fused8_kernel, nb=nb, zpos=zpos, packed=packed),
         grid=(r,),
         in_specs=[
-            pl.BlockSpec((1, 64, nb), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, s0, nb), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nb), lambda i: (0, 0), memory_space=pltpu.VMEM),

@@ -296,3 +296,29 @@ def test_compat_blockize_matches_block_extraction(rng):
                     want = flat[b][idx]
                     gotb = got[b * N_SLICES + s, :, m * 6 + ci].reshape(8, 8).T
                     assert np.array_equal(gotb, want), (b, s, m, ci)
+
+
+def test_packed_u32_layout_matches_u8(rng):
+    """The width-packed (R, 16, NB) u32 block layout (r5: halves the
+    host-side blockize relayout cost) must be kernel-equivalent to the
+    u8 px-major layout in all three entries."""
+    import jax.numpy as jnp
+
+    from ec504_imageencoder_tpu.ops.pallas_vlc import (
+        px64_to_packed16,
+        vlc_from_blocks_tpu,
+        vlc_fused8_slots_from_blocks_tpu,
+        vlc_fused_slots_from_blocks_tpu,
+    )
+    from ec504_imageencoder_tpu.utils.tables import INTRA_Q_MATRIX
+
+    blocks = rng.integers(0, 256, (3, 64, 12), dtype=np.uint8)
+    packed = px64_to_packed16(blocks)
+    assert packed.shape == (3, 16, 12) and packed.dtype == np.uint32
+    qw = jnp.asarray(INTRA_Q_MATRIX.astype(np.int32) * 8)
+    for fn in (vlc_fused_slots_from_blocks_tpu,
+               vlc_fused8_slots_from_blocks_tpu, vlc_from_blocks_tpu):
+        a = fn(jnp.asarray(blocks), qw, interpret=True)
+        b = fn(jnp.asarray(packed), qw, interpret=True)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
