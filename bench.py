@@ -34,9 +34,8 @@ REF_BUILD = "/tmp/ec504_bench_ref"
 
 W1080, H1080 = 1920, 1080
 PAD_H = 1088  # 1080 padded to MB multiple
-# batch 16 is the chip's preferred operating point: the 2026-08 batch
-# curve (BENCHMATRIX_r04 config 6) measured 657/683/886/1041 fps at
-# B=1/4/8/16 — the ~15 ms B=16 step amortizes per-step scheduling best
+# batch 16 is the chip's preferred operating point (honest r5 batch
+# curve; note the r4 curve in BENCHMATRIX_r04 was DCE-inflated)
 BATCH = int(os.environ.get("EC504_BENCH_BATCH", "16"))
 QUALITY = 50
 ITERS = int(os.environ.get("EC504_BENCH_ITERS", "5"))
@@ -237,7 +236,7 @@ def measure_tpu_1080p() -> dict:
 
 
 E2E_DIR = "/tmp/ec504_bench_1080p_jpegs"
-E2E_FRAMES = int(os.environ.get("EC504_BENCH_E2E_FRAMES", "16"))
+E2E_FRAMES = int(os.environ.get("EC504_BENCH_E2E_FRAMES", "48"))
 
 
 def _stage_e2e_jpegs(n: int) -> str:
@@ -294,13 +293,32 @@ def measure_end_to_end() -> dict:
     fn = _jitted_planes_pipeline(enc.qscale, msb, enc.dct_impl)
     intra_dev = jax.device_put(enc.intra_q)
 
+    import functools as _ft
+
+    import jax as _jax
+
+    from ec504_imageencoder_tpu.ops.bitpack import (
+        compact_slices,
+        split_compact_slices,
+    )
+
+    compact_jit = _jax.jit(compact_slices, static_argnums=2)
+    # fixed compaction capacity (device scratch, fetched only up to the
+    # used words) so the 1088-step scan compiles ONCE, outside the timed
+    # loop — a per-batch cap bucket recompiled through the tunnel and
+    # dominated the first r5 e2e attempt
+    mbh = PAD_H // 16
+    cap = 1 << (BATCH * mbh * (msb // 4) + msb // 4 - 1).bit_length()
+
     # compile + warm outside the timed loop
     warm = (np.zeros((BATCH, PAD_H, W1080), np.uint8),
             np.zeros((BATCH, PAD_H // 2, W1080 // 2), np.uint8),
             np.zeros((BATCH, PAD_H // 2, W1080 // 2), np.uint8))
     wd = [jax.device_put(p) for p in warm]
-    _ = np.asarray(fn(*wd, intra_dev)[1])
-    del warm, wd
+    wout = fn(*wd, intra_dev)
+    _ = np.asarray(wout[1])
+    _ = np.asarray(compact_jit(wout[0], wout[1], cap)[0][:8])  # compile
+    del warm, wd, wout
 
     # component: host decode only (entropy + IDCT, planes out)
     t0 = time.perf_counter()
@@ -322,14 +340,18 @@ def measure_end_to_end() -> dict:
     pending = None  # (start, nframes, device result)
 
     def drain(p):
+        # two-step fetch: bit counts (tiny), then a device-side
+        # compaction so D2H carries ~stream bytes, not the padded
+        # slice buffers (the r5 fetch leg was 2 s of a 35 MB
+        # over-fetch for a 2.3 MB stream on this tunnel)
         start, k, res = p
         tf = time.perf_counter()
         bits = np.asarray(res[1])
-        used = (int(bits.max(initial=0)) + 7) // 8
-        bucket = min(max(256, 1 << max(used - 1, 1).bit_length()), msb)
-        seg = np.asarray(res[0][:, :, :bucket])
+        total_w = int(((bits + 31) // 32).sum())
+        dense, _ = compact_jit(res[0], res[1], cap)
+        rows = split_compact_slices(np.asarray(dense[:total_w]), bits)
         t_fetch[0] += time.perf_counter() - tf
-        out.extend(enc.assemble(seg, bits, W1080, H1080, start))
+        out.extend(enc.assemble(rows, bits, W1080, H1080, start))
 
     for start, planes in src.plane_batches(BATCH):
         dev = [jax.device_put(p)

@@ -816,9 +816,13 @@ class MPEG1IntraEncoder:
     def assemble(self, seg, bits, disp_w: int, disp_h: int,
                  first_frame_index: int = 0) -> bytes:
         """Host-side stream assembly from fetched (seg, bits): sequence/
-        GOP/picture headers + the used byte prefix of every slice."""
+        GOP/picture headers + the used byte prefix of every slice.
+
+        seg is either the (B, S, msb) byte array or the nested row list
+        from ops.bitpack.split_compact_slices (already trimmed)."""
+        compacted = isinstance(seg, list)
         out = bytearray()
-        for i in range(seg.shape[0]):
+        for i in range(len(seg) if compacted else seg.shape[0]):
             gi = first_frame_index + i
             if gi % self.gop_size == 0:
                 out += sequence_header_es(
@@ -827,9 +831,13 @@ class MPEG1IntraEncoder:
                 )
                 out += gop_header_es(gi, self.fps)
             out += headers.picture_header(temporal_ref=gi % self.gop_size)
-            for s in range(seg.shape[1]):
-                nb = (int(bits[i, s]) + 7) // 8
-                out += bytes(seg[i, s, :nb])
+            if compacted:
+                for row in seg[i]:
+                    out += bytes(row)
+            else:
+                for s in range(seg.shape[1]):
+                    nb = (int(bits[i, s]) + 7) // 8
+                    out += bytes(seg[i, s, :nb])
         return bytes(out)
 
     def encode_from_planes(self, y, cb, cr,

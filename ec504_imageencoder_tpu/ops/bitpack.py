@@ -186,6 +186,58 @@ def words_be_to_bytes(words):
     return b.reshape(words.shape[:-1] + (words.shape[-1] * 4,))
 
 
+def compact_slices(seg, bits, cap_words: int):
+    """Device-side segment compaction: gather every slice's used word
+    prefix into one dense buffer so a slow host link fetches ~stream
+    bytes instead of the padded (B, S, max_slice_bytes) buffer.
+
+    seg: (B, S, msb) u8 slice buffers (msb % 4 == 0); bits: (B, S) i32.
+    Returns (dense (cap_words,) u32, word_offsets (B*S,) i32).  Caller
+    picks cap_words >= sum(ceil(bits/32)) + msb//4 (the forward-cover
+    scan writes a full msb-sized row at each offset; each next write
+    starts exactly where the previous row's garbage tail begins, so only
+    the final row leaves a tail — inside the extra msb//4 headroom).
+
+    Host-side reassembly: slice i's bytes are the first ceil(bits_i/8)
+    bytes of dense[offs_i : offs_i + ceil(bits_i/32)] viewed as the
+    original byte order (dense is a pure bitcast of the byte stream).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    b, s, msb = seg.shape
+    assert msb % 4 == 0
+    segw = jax.lax.bitcast_convert_type(
+        seg.reshape(b * s, msb // 4, 4), jnp.uint32
+    )                                               # (N, mw)
+    used_w = (bits.reshape(-1) + 31) // 32
+    offs = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(used_w)[:-1].astype(jnp.int32)]
+    )
+
+    def body(out, x):
+        row, off = x
+        return jax.lax.dynamic_update_slice(out, row, (off,)), None
+
+    out0 = jnp.zeros((cap_words,), jnp.uint32)
+    dense, _ = jax.lax.scan(body, out0, (segw, offs))
+    return dense, offs
+
+
+def split_compact_slices(dense_words: np.ndarray, bits: np.ndarray):
+    """Host inverse of compact_slices: (B, S) list-of-bytes views."""
+    byts = dense_words.view(np.uint8)
+    used_w = (bits.reshape(-1).astype(np.int64) + 31) // 32
+    offs = np.concatenate([[0], np.cumsum(used_w)[:-1]])
+    nby = (bits.reshape(-1) + 7) // 8
+    out = []
+    for i in range(bits.size):
+        start = int(offs[i]) * 4
+        out.append(byts[start : start + int(nby[i])])
+    b, s = bits.shape
+    return [out[r * s : (r + 1) * s] for r in range(b)]
+
+
 def pack_bytes(codes, lens, max_bytes: int, xp=np, bit_offset: int = 0):
     """Convenience: pack straight to (..., max_bytes) uint8 + bit lengths."""
     assert max_bytes % 4 == 0

@@ -161,3 +161,29 @@ def test_pack_bit_offset_matches_shifted_stream():
             w.put((plain[r, i // 8] >> (7 - i % 8)) & 1, 1)
         want = w.tobytes()
         assert bytes(shifted[r, : len(want)]) == want
+
+
+def test_compact_slices_roundtrip(rng):
+    """Device-side segment compaction (slow-link D2H optimization) must
+    reproduce exactly the used byte prefix of every slice."""
+    import jax.numpy as jnp
+
+    from ec504_imageencoder_tpu.ops.bitpack import (
+        compact_slices,
+        split_compact_slices,
+    )
+
+    b, s, msb = 3, 5, 256
+    seg = rng.integers(0, 256, (b, s, msb), dtype=np.uint8)
+    bits = rng.integers(0, 8 * msb + 1, (b, s)).astype(np.int32)
+    total_w = int(((bits + 31) // 32).sum())
+    cap = total_w + msb // 4
+    dense, offs = compact_slices(jnp.asarray(seg), jnp.asarray(bits), cap)
+    rows = split_compact_slices(np.asarray(dense), bits)
+    for i in range(b):
+        for j in range(s):
+            nb = (int(bits[i, j]) + 7) // 8
+            np.testing.assert_array_equal(
+                np.frombuffer(bytes(rows[i][j]), np.uint8),
+                seg[i, j, :nb],
+            )
