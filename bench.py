@@ -335,22 +335,26 @@ def measure_end_to_end() -> dict:
     t_upload_batch = time.perf_counter() - t0
 
     out = bytearray()
+    t_wait = [0.0]
     t_fetch = [0.0]
     t0 = time.perf_counter()
     pending = None  # (start, nframes, device result)
 
     def drain(p):
-        # two-step fetch: bit counts (tiny), then a device-side
-        # compaction so D2H carries ~stream bytes, not the padded
-        # slice buffers (the r5 fetch leg was 2 s of a 35 MB
-        # over-fetch for a 2.3 MB stream on this tunnel)
         start, k, res = p
-        tf = time.perf_counter()
-        bits = np.asarray(res[1])
+        tw = time.perf_counter()
+        bits = np.asarray(res[1])   # blocks until this batch's upload +
+        tmid = time.perf_counter()  # encode finish (the pipeline wait)
+        t_wait[0] += tmid - tw
+        # then a device-side compaction so D2H carries ~stream bytes,
+        # not the padded slice buffers (35 MB for a 2.3 MB stream)
         total_w = int(((bits + 31) // 32).sum())
         dense, _ = compact_jit(res[0], res[1], cap)
-        rows = split_compact_slices(np.asarray(dense[:total_w]), bits)
-        t_fetch[0] += time.perf_counter() - tf
+        # bucket the fetch length: a distinct slice shape per batch
+        # would recompile the slice executable through the tunnel
+        fetch_w = min(-(-total_w // 65536) * 65536, cap)
+        rows = split_compact_slices(np.asarray(dense[:fetch_w]), bits)
+        t_fetch[0] += time.perf_counter() - tmid
         out.extend(enc.assemble(rows, bits, W1080, H1080, start))
 
     for start, planes in src.plane_batches(BATCH):
@@ -374,6 +378,7 @@ def measure_end_to_end() -> dict:
         "decode_s_per_batch": t_decode_batch,
         "upload_s_per_batch": t_upload_batch,
         "upload_mbytes_per_batch": round(up_bytes / 1e6, 1),
+        "pipeline_wait_s_total": round(t_wait[0], 3),
         "fetch_s_total": round(t_fetch[0], 3),
         "stream_bytes": len(out),
     }
