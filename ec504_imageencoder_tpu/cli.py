@@ -58,6 +58,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="correct mode: bounded-memory intake — decode "
                         "JPEG batches on demand (with lookahead prefetch) "
                         "instead of loading the whole folder upfront")
+    p.add_argument("--intake", choices=["auto", "rgb", "ycbcr"],
+                   default="auto",
+                   help="correct-mode --stream intake: 'ycbcr' feeds the "
+                        "JPEGs' own 4:2:0 planes straight to the encoder "
+                        "(half the host->device bytes, no RGB round "
+                        "trip); 'auto' uses it when the JPEGs are "
+                        "3-component 2x2-subsampled and no .bit dumps "
+                        "were requested")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace into DIR")
     p.add_argument("--metrics", action="store_true",
@@ -141,9 +149,24 @@ def main(argv=None) -> int:
             data = open(args.output, "rb").read()
         elif use_stream:
             # bounded-memory path: decode batch N+1 while encoding batch N
+            use_planes = (args.intake != "rgb" and not args.bitstream_dir
+                          and source.supports_planes())
+            if args.intake == "ycbcr" and not use_planes:
+                raise SystemExit(
+                    "--intake ycbcr needs 3-component 2x2-subsampled "
+                    "JPEGs, the native staged decoder, and no "
+                    "--bitstream-dir"
+                )
             chunks = []
-            for start, batch in source.batches(args.batch):
-                chunks.append(enc.encode(batch, first_frame_index=start))
+            if use_planes:
+                for start, (y, cb, cr) in source.plane_batches(args.batch):
+                    chunks.append(
+                        enc.encode_from_planes(y, cb, cr,
+                                               first_frame_index=start)
+                    )
+            else:
+                for start, batch in source.batches(args.batch):
+                    chunks.append(enc.encode(batch, first_frame_index=start))
             data = b"".join(chunks) + headers.sequence_end()
         else:
             chunks = []

@@ -138,3 +138,23 @@ def test_stream_plane_batches(jpeg_cases, tmp_path, rng):
     y0, cb0, cr0 = src.planes(0, 5)
     yy, _, _ = jio.decode_planes_batch(src.paths, src.geometry)
     assert np.array_equal(y0, yy)
+
+
+def test_cli_stream_ycbcr_intake(tmp_path, rng):
+    """mpeg-encode --stream with the auto YCbCr intake produces a
+    decodable stream from a JPEG folder."""
+    from PIL import Image
+
+    from ec504_imageencoder_tpu.cli import main
+    from ec504_imageencoder_tpu.models.decoder import decode_stream
+
+    for i in range(5):
+        img = rng.integers(0, 256, (64, 96, 3), dtype=np.uint8)
+        Image.fromarray(img).save(str(tmp_path / f"f{i}.jpg"),
+                                  quality=85, subsampling=2)
+    out = str(tmp_path / "out.mpeg")
+    rc = main([str(tmp_path), "-o", out, "--stream", "--intake", "ycbcr",
+               "--backend", "numpy", "--batch", "2", "-q", "45"])
+    assert rc == 0
+    frames = decode_stream(open(out, "rb").read())
+    assert len(frames) == 5 and frames[0].shape == (64, 96, 3)
