@@ -603,6 +603,37 @@ def _jitted_planes_pipeline(
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=16)
+def _jitted_coeffs_pipeline(height: int, width: int, qscale: int,
+                            max_slice_bytes: int, dct_impl: str = "aan"):
+    """JPEG coefficients -> device islow IDCT -> padded 4:2:0 planes ->
+    MPEG pipeline, one jitted program (the coefficients intake)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ec504_imageencoder_tpu.ops import jpeg_tpu
+
+    def fn(yc, cbc, crc, intra_q):
+        y, cb, cr = jpeg_tpu.decode_planes_from_coeffs(
+            yc, cbc, crc, height, width, jnp
+        )
+        ph, pw = -height % 16, -width % 16
+        if ph or pw:
+            y = jnp.pad(y, ((0, 0), (0, ph), (0, pw)), mode="edge")
+        th, tw = (height + ph) // 2, (width + pw) // 2
+        ch, cw = cb.shape[1:3]
+        if (ch, cw) != (th, tw):
+            pad = ((0, 0), (0, th - ch), (0, tw - cw))
+            cb = jnp.pad(cb, pad, mode="edge")
+            cr = jnp.pad(cr, pad, mode="edge")
+        return correct_pipeline_planes(
+            y, cb, cr, intra_q, qscale, max_slice_bytes, xp=jnp,
+            dct_impl=dct_impl,
+        )
+
+    return jax.jit(fn)
+
+
 def pad_planes_to_macroblocks(y, cb, cr):
     """Edge-replicate 4:2:0 planes so Y is a multiple of 16 (chroma 8)."""
     h, w = y.shape[1:3]
@@ -839,6 +870,37 @@ class MPEG1IntraEncoder:
                     nb = (int(bits[i, s]) + 7) // 8
                     out += bytes(seg[i, s, :nb])
         return bytes(out)
+
+    def encode_from_coeffs(self, yc, cbc, crc, height: int, width: int,
+                           first_frame_index: int = 0) -> bytes:
+        """Encode straight from dequantized JPEG coefficient blocks
+        (io/jpeg.decode_coeffs_batch): the host does entropy decode
+        only; the islow IDCT (ops/jpeg_tpu.py, bit-exact vs stb_image),
+        macroblock padding, and the whole MPEG pipeline run as ONE
+        jitted device program.  The right intake when the host is weak
+        and the host->device link is fast (coefficients are 2
+        bytes/sample vs the planes intake's 1)."""
+        if self.backend != "jax":
+            from ec504_imageencoder_tpu.ops import jpeg_tpu
+
+            y, cb, cr = jpeg_tpu.decode_planes_from_coeffs(
+                np.asarray(yc), np.asarray(cbc), np.asarray(crc),
+                height, width, np,
+            )
+            return self.encode_from_planes(y, cb, cr, first_frame_index)
+        if width > MAX_WIDTH or height > MAX_HEIGHT:
+            raise ValueError(
+                f"frame {width}x{height} exceeds MPEG-1 limits "
+                f"({MAX_WIDTH}x{MAX_HEIGHT})"
+            )
+        mbw = (width + 15) // 16
+        seg, bits = self._run_with_regrow(
+            lambda msb: _jitted_coeffs_pipeline(
+                height, width, self.qscale, msb, self.dct_impl
+            )(yc, cbc, crc, self.intra_q),
+            mbw,
+        )
+        return self.assemble(seg, bits, width, height, first_frame_index)
 
     def encode_from_planes(self, y, cb, cr,
                            first_frame_index: int = 0) -> bytes:

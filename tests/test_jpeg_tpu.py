@@ -158,3 +158,22 @@ def test_cli_stream_ycbcr_intake(tmp_path, rng):
     assert rc == 0
     frames = decode_stream(open(out, "rb").read())
     assert len(frames) == 5 and frames[0].shape == (64, 96, 3)
+
+
+def test_encode_from_coeffs_matches_planes_intake(jpeg_cases):
+    """The coefficients intake (device IDCT fused into the encode jit)
+    must produce the same stream as decoding to planes on the host."""
+    from ec504_imageencoder_tpu.models.mpeg1 import MPEG1IntraEncoder
+
+    p = jpeg_cases[2]  # 401x299: odd dims exercise the in-jit padding
+    g = jio.probe_jpeg(p)
+    y, cb, cr = jio.decode_planes_batch([p], g)
+    yc, cbc, crc = jio.decode_coeffs_batch([p], g)
+    a = MPEG1IntraEncoder(quality=45, backend="jax").encode_from_coeffs(
+        yc, cbc, crc, g["height"], g["width"])
+    b = MPEG1IntraEncoder(quality=45, backend="jax").encode_from_planes(
+        y, cb, cr)
+    assert a == b
+    c = MPEG1IntraEncoder(quality=45, backend="numpy").encode_from_coeffs(
+        yc, cbc, crc, g["height"], g["width"])
+    assert c == b
