@@ -293,8 +293,6 @@ def measure_end_to_end() -> dict:
     fn = _jitted_planes_pipeline(enc.qscale, msb, enc.dct_impl)
     intra_dev = jax.device_put(enc.intra_q)
 
-    import functools as _ft
-
     import jax as _jax
 
     from ec504_imageencoder_tpu.ops.bitpack import (

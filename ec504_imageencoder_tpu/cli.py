@@ -82,6 +82,14 @@ def main(argv=None) -> int:
     metrics = EncodeMetrics()
 
     use_stream = args.stream and args.mode == "correct"
+    if args.intake == "ycbcr" and (not use_stream or args.workdir
+                                   or args.bitstream_dir):
+        # fail loudly rather than silently running the RGB intake the
+        # user asked to avoid
+        raise SystemExit(
+            "--intake ycbcr requires correct-mode --stream without "
+            "--workdir/--bitstream-dir"
+        )
     t0 = time.perf_counter()
     if use_stream:
         from ec504_imageencoder_tpu.io.stream import FolderFrameSource
@@ -154,8 +162,7 @@ def main(argv=None) -> int:
             if args.intake == "ycbcr" and not use_planes:
                 raise SystemExit(
                     "--intake ycbcr needs 3-component 2x2-subsampled "
-                    "JPEGs, the native staged decoder, and no "
-                    "--bitstream-dir"
+                    "JPEGs and the native staged decoder"
                 )
             chunks = []
             if use_planes:

@@ -330,7 +330,11 @@ def decode_es(data: bytes, color_range: str = "studio") -> list[np.ndarray]:
 # Cross-validated bit-for-bit against decode_es (tests/test_decoder_fast).
 
 class _FastReader:
-    """Bit reader with O(1) reads via precomputed 64-bit byte windows."""
+    """Bit reader with O(1) reads via precomputed 64-bit byte windows.
+
+    Memory: the window table is 8 bytes per stream byte — fine for
+    verification streams (tens of MB); for multi-GB inputs decode
+    GOP-sized chunks instead."""
 
     def __init__(self, data: bytes):
         self.data = data

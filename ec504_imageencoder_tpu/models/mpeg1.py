@@ -880,6 +880,16 @@ class MPEG1IntraEncoder:
         jitted device program.  The right intake when the host is weak
         and the host->device link is fast (coefficients are 2
         bytes/sample vs the planes intake's 1)."""
+        ch, cw = -(-height // 2), -(-width // 2)
+        exp_y = (-(-height // 8) * -(-width // 8), 64)
+        exp_c = (-(-ch // 8) * -(-cw // 8), 64)
+        for name, arr, exp in (("Y", yc, exp_y), ("Cb", cbc, exp_c),
+                               ("Cr", crc, exp_c)):
+            if arr.ndim != 3 or tuple(arr.shape[1:]) != exp:
+                raise ValueError(
+                    f"{name} coefficients must be (B, {exp[0]}, 64) for "
+                    f"{width}x{height} 4:2:0, got {tuple(arr.shape)}"
+                )
         if self.backend != "jax":
             from ec504_imageencoder_tpu.ops import jpeg_tpu
 
@@ -900,6 +910,9 @@ class MPEG1IntraEncoder:
             )(yc, cbc, crc, self.intra_q),
             mbw,
         )
+        if self.metrics is not None:
+            self.metrics.histogram("slice_bits", bits)
+            self.metrics.histogram("bits_per_macroblock", bits / mbw)
         return self.assemble(seg, bits, width, height, first_frame_index)
 
     def encode_from_planes(self, y, cb, cr,
@@ -917,6 +930,10 @@ class MPEG1IntraEncoder:
         if cb.shape != exp or cr.shape != exp:
             raise ValueError(
                 f"chroma planes must be {exp}, got {cb.shape}/{cr.shape}"
+            )
+        if cb.dtype != np.uint8 or cr.dtype != np.uint8:
+            raise ValueError(
+                f"expected uint8 chroma planes, got {cb.dtype}/{cr.dtype}"
             )
         if disp_w > MAX_WIDTH or disp_h > MAX_HEIGHT:
             raise ValueError(

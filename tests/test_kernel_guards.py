@@ -89,3 +89,36 @@ def test_pack_guards_detect_bad_lengths(rng, emit_be):
         debug=True, interpret=True,
     )
     assert int(np.asarray(viol).sum()) > 0
+
+
+def test_compat_debug_wiring_interpret(rng):
+    """The compat-mode sanitizer wiring (models/encoder._compat_tpu_pipeline
+    debug branch): raw-slot kernel + slot_violations + guarded pack, with
+    violations surfacing as negated bit counts.  Replicated here in
+    interpret mode (the real branch only lowers on TPU)."""
+    from ec504_imageencoder_tpu.ops.pallas_vlc import (
+        fuse_slots_streamwise,
+        vlc_compat_slots_from_blocks_tpu,
+    )
+    from ec504_imageencoder_tpu.utils.tables import scale_quantization_matrix
+
+    blocks = rng.integers(0, 256, (2, 64, 12), dtype=np.uint8)
+    sq = jnp.asarray(scale_quantization_matrix(12).astype(np.int32))
+    codes, lens = vlc_compat_slots_from_blocks_tpu(
+        jnp.asarray(blocks), sq, interpret=True)
+    kviol = slot_violations(
+        codes.transpose(1, 0, 2), lens.transpose(1, 0, 2), jnp
+    ).transpose(1, 0, 2)
+    assert int(np.asarray(kviol).sum()) == 0  # healthy input: no hits
+    v0, v1, v2, v3, fl = fuse_slots_streamwise(codes, lens)
+    words, nbits, pviol = pack_words_fused4_core(
+        v0, v1, v2, v3, fl, 640, bit_offset=38, debug=True, interpret=True)
+    viol = pviol + kviol.sum(axis=(-2, -1))
+    nbits2 = jnp.where(viol > 0, -viol, nbits)
+    assert np.array_equal(np.asarray(nbits2), np.asarray(nbits))
+    # corrupted slots must negate the bit counts (what encode_compat
+    # raises on)
+    bad = kviol.at[0, 0, 0].set(3)
+    nbits3 = jnp.where(bad.sum(axis=(-2, -1)) + pviol > 0,
+                       -(bad.sum(axis=(-2, -1)) + pviol), nbits)
+    assert int(np.asarray(nbits3)[0]) < 0

@@ -95,3 +95,41 @@ def test_graft_entry_single():
     out = jax.jit(fn)(*args)
     seg, bits = out
     assert np.asarray(bits).min() > 0
+
+
+def test_sharded_planes_intake_matches_host(frames):
+    """ShardedMPEG1Encoder.encode_from_planes must shard over the mesh
+    and stay byte-identical to the host oracle's planes intake."""
+    from ec504_imageencoder_tpu.ops.color import (
+        rgb_to_ycbcr_studio,
+        subsample_420,
+    )
+
+    y, cb, cr = rgb_to_ycbcr_studio(frames, np)
+    cbs, crs = subsample_420(cb, np), subsample_420(cr, np)
+    host = MPEG1IntraEncoder(quality=45, backend="numpy").encode_from_planes(
+        y, cbs, crs)
+    enc = ShardedMPEG1Encoder(
+        quality=45, backend="jax", mesh=mesh_lib.make_mesh(4, 2)
+    )
+    assert enc.encode_from_planes(y, cbs, crs) == host
+    with pytest.raises(NotImplementedError):
+        enc.encode_from_coeffs(None, None, None, 0, 0)
+
+
+def test_sharded_planes_pipeline_collective_free():
+    import re
+
+    from ec504_imageencoder_tpu.models.mpeg1 import quality_to_quant
+    from ec504_imageencoder_tpu.parallel.sharded_encoder import (
+        _sharded_planes_pipeline,
+    )
+
+    intra_q, qscale = quality_to_quant(45)
+    mesh = mesh_lib.make_mesh(4, 2)
+    fn = _sharded_planes_pipeline(mesh, qscale, 8192)
+    y = np.zeros((8, 64, 128), np.uint8)
+    c = np.zeros((8, 32, 64), np.uint8)
+    hlo = fn.lower(y, c, c, intra_q).compile().as_text()
+    found = re.findall(COLLECTIVE_RE, hlo)
+    assert not found, f"collectives in sharded planes HLO: {found}"
