@@ -177,3 +177,22 @@ def test_encode_from_coeffs_matches_planes_intake(jpeg_cases):
     c = MPEG1IntraEncoder(quality=45, backend="numpy").encode_from_coeffs(
         yc, cbc, crc, g["height"], g["width"])
     assert c == b
+
+
+def test_encode_from_planes_fuzz_sizes(rng):
+    """Planes intake == RGB intake across random MB-aligned sizes and
+    qualities (beyond the single fixture case)."""
+    from ec504_imageencoder_tpu.models.mpeg1 import MPEG1IntraEncoder
+    from ec504_imageencoder_tpu.ops.color import (
+        rgb_to_ycbcr_studio,
+        subsample_420,
+    )
+
+    for h, w, q in ((32, 48, 12), (80, 64, 50), (48, 112, 92)):
+        frames = rng.integers(0, 256, (2, h, w, 3), dtype=np.uint8)
+        es_rgb = MPEG1IntraEncoder(quality=q, backend="numpy").encode(frames)
+        y, cb, cr = rgb_to_ycbcr_studio(frames, np)
+        es_pl = MPEG1IntraEncoder(
+            quality=q, backend="numpy"
+        ).encode_from_planes(y, subsample_420(cb, np), subsample_420(cr, np))
+        assert es_pl == es_rgb, (h, w, q)
