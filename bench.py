@@ -367,7 +367,28 @@ def measure_end_to_end() -> dict:
     wall = time.perf_counter() - t0
     with open("/tmp/ec504_bench_e2e.mpeg", "wb") as f:
         f.write(out)
+    # untimed validation: the stream must decode, and quality must be
+    # sane vs the decoded source (our own spec decoder; no ffmpeg here)
+    try:
+        from ec504_imageencoder_tpu.models.decoder import (
+            decode_es_fast,
+            psnr,
+        )
+        from ec504_imageencoder_tpu.ops.jpeg_tpu import (
+            decode_rgb_from_planes,
+        )
+
+        dec = decode_es_fast(bytes(out))
+        srcp = src.planes(0, 1)
+        src_rgb = decode_rgb_from_planes(*(p[0] for p in srcp), np)
+        check = {
+            "frames_decoded": len(dec),
+            "psnr_frame0_db": round(float(psnr(src_rgb, dec[0])), 2),
+        }
+    except Exception as e:  # diagnostics only
+        check = {"error": f"{type(e).__name__}: {e}"}
     return {
+        "validation": check,
         "frames": n,
         "fps_end_to_end": n / wall,
         "wall_s": wall,
