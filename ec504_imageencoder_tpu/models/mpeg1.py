@@ -720,10 +720,11 @@ class MPEG1IntraEncoder:
         # the integer AAN's +-2 noise caps PSNR ~40 dB; at fine
         # quantization switch to the f32 MXU-matmul DCT automatically.
         # Determinism of the f32 path: Precision.HIGHEST everywhere;
-        # byte-identical across host/XLA-CPU/mesh shardings (locked by
-        # tests/test_sharding.py at q=85), equal-PSNR across hardware
-        # backends (ops/dct.py matmul_dct docstring).  Pass
-        # dct_impl="aan" for bit-determinism across hardware at any
+        # byte-identical across mesh shardings of the same backend
+        # (locked by tests/test_sharding.py at q=85); across backends
+        # (numpy vs XLA CPU vs TPU) equal-PSNR only — rare f32 ties can
+        # flip bytes (ops/dct.py matmul_dct docstring).  Pass
+        # dct_impl="aan" for bit-determinism across backends at any
         # quality.
         if dct_impl == "auto":
             dct_impl = "f32" if quality >= 70 else "aan"

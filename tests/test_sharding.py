@@ -40,15 +40,35 @@ def test_sharded_matches_oracle(frames, reference_bytes, shape):
 
 @pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 4)])
 def test_sharded_high_quality_f32_dct_deterministic(frames, shape):
-    """q >= 70 auto-selects the f32 matmul DCT; with Precision.HIGHEST
-    the sharded stream must stay byte-identical to the host oracle
-    (the r4 matrix only pinned q=45/AAN)."""
-    host = MPEG1IntraEncoder(quality=85, backend="numpy").encode(frames)
+    """q >= 70 auto-selects the f32 matmul DCT.  The guarantee
+    (ops/dct.py): any sharding of the SAME backend is byte-identical;
+    across backends (numpy vs XLA) f32 contraction-order ties can flip
+    a rounding on rare content (found by an r5 soak at q=79), so
+    cross-backend promises equal PSNR, not equal bytes."""
+    unsharded = MPEG1IntraEncoder(quality=85, backend="jax").encode(frames)
     enc = ShardedMPEG1Encoder(
         quality=85, backend="jax", mesh=mesh_lib.make_mesh(*shape)
     )
     assert enc.dct_impl == "f32"  # the auto switch engaged
-    assert enc.encode(frames) == host
+    assert enc.encode(frames) == unsharded
+
+
+def test_f32_dct_cross_backend_equal_psnr():
+    """The r5 soak's counterexample, kept as a regression boundary: at
+    q=79 this exact noise content encodes to different BYTES under
+    numpy vs XLA CPU (a half-ulp f32 tie) with identical decoded
+    PSNR — the documented cross-backend guarantee."""
+    from ec504_imageencoder_tpu.models.decoder import decode_es_fast, psnr
+    from ec504_imageencoder_tpu.syntax import headers
+
+    rng = np.random.default_rng(20260821)
+    frames = rng.integers(0, 256, (1, 87, 44, 3), dtype=np.uint8)
+    es_np = MPEG1IntraEncoder(quality=79, backend="numpy").encode(frames)
+    es_jx = MPEG1IntraEncoder(quality=79, backend="jax").encode(frames)
+    d1 = decode_es_fast(es_np + headers.sequence_end())
+    d2 = decode_es_fast(es_jx + headers.sequence_end())
+    p1, p2 = psnr(frames[0], d1[0]), psnr(frames[0], d2[0])
+    assert abs(p1 - p2) < 0.05, (p1, p2)
 
 
 COLLECTIVE_RE = (
