@@ -76,7 +76,15 @@ def compat_blockize_px64(y, cb, cr, xp):
     )
 
     def chroma(p):
-        v = p.reshape(bsz, 2 * h, w // 2)[:, : 8 * N_MBS, : 8 * N_SLICES]
+        # the reference reads the full-res plane with half-width stride
+        # (pointer math, Q3): element (r, c) = flat[r*(w//2) + c].  A
+        # (2h, w//2) reshape is only equivalent for even widths; the
+        # flat view below matches C for any width (odd-width frames
+        # found by an r5 soak).
+        half = w // 2
+        flat = p.reshape(bsz, h * w)
+        v = flat[:, : 8 * N_MBS * half].reshape(bsz, 8 * N_MBS, half)
+        v = v[:, :, : 8 * N_SLICES]
         g = v.reshape(bsz, N_MBS, 8, N_SLICES, 8)
         return g.transpose(0, 3, 4, 2, 1).reshape(bsz, N_SLICES, 64, N_MBS, 1)
 
@@ -203,7 +211,12 @@ def _compat_generic_pipeline(y, cb, cr, scaled_q, max_slice_bytes, xp):
 
     # chroma quirk Q3: full-res plane, half-width stride == (2H, W/2) view
     def chroma_blocks(p):
-        v = p.reshape(bsz, 2 * h, w // 2)[:, : 8 * N_MBS, : 8 * N_SLICES]
+        # half-width-stride pointer view, valid for odd widths too (see
+        # compat_blockize_px64.chroma)
+        half = w // 2
+        flat = p.reshape(bsz, h * w)
+        v = flat[:, : 8 * N_MBS * half].reshape(bsz, 8 * N_MBS, half)
+        v = v[:, :, : 8 * N_SLICES]
         g = _blockize(v, xp)                                  # (B,9,6,8,8)
         return g.transpose(0, 2, 1, 3, 4)                     # (B,6,9,8,8)
 

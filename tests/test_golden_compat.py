@@ -55,3 +55,20 @@ def test_sequence_header_truncated_dims(golden_mpeg):
     idx = golden_mpeg.find(b"\x00\x00\x01\xb3")
     assert golden_mpeg[idx : idx + 12] == seq
     assert seq[4] == 0x09 and seq[6] == 0x58  # 144, 88
+
+
+def test_compat_odd_width_matches_oracle(rng):
+    """Odd-width frames: the reference reads chroma with half-width
+    pointer math that a (2H, W//2) reshape can only mimic for even
+    widths (r5 soak found the crash).  The flat-stride view must match
+    the scalar oracle exactly."""
+    from ec504_imageencoder_tpu.models.encoder import encode_compat
+    from ec504_imageencoder_tpu.models.oracle import (
+        encode_compat as oracle_encode,
+    )
+
+    for h, w, q in ((144, 97, 12), (197, 141, 56), (275, 163, 95)):
+        frames = rng.integers(0, 256, (1, h, w, 3), dtype=np.uint8)
+        es_n, _ = encode_compat(frames, q, backend="numpy")
+        es_o, _ = oracle_encode(frames, q)
+        assert es_n == es_o, (h, w, q)
