@@ -58,14 +58,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="correct mode: bounded-memory intake — decode "
                         "JPEG batches on demand (with lookahead prefetch) "
                         "instead of loading the whole folder upfront")
-    p.add_argument("--intake", choices=["auto", "rgb", "ycbcr"],
+    p.add_argument("--intake", choices=["auto", "rgb", "ycbcr", "coeffs"],
                    default="auto",
                    help="correct-mode --stream intake: 'ycbcr' feeds the "
                         "JPEGs' own 4:2:0 planes straight to the encoder "
                         "(half the host->device bytes, no RGB round "
-                        "trip); 'auto' uses it when the JPEGs are "
-                        "3-component 2x2-subsampled and no .bit dumps "
-                        "were requested")
+                        "trip); 'coeffs' ships dequantized coefficient "
+                        "blocks and runs the JPEG IDCT on device (weak "
+                        "host, fast link); 'auto' uses ycbcr when the "
+                        "JPEGs are 3-component 2x2-subsampled and no "
+                        ".bit dumps were requested")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace into DIR")
     p.add_argument("--metrics", action="store_true",
@@ -82,13 +84,13 @@ def main(argv=None) -> int:
     metrics = EncodeMetrics()
 
     use_stream = args.stream and args.mode == "correct"
-    if args.intake == "ycbcr" and (not use_stream or args.workdir
-                                   or args.bitstream_dir):
+    if args.intake in ("ycbcr", "coeffs") and (not use_stream or args.workdir
+                                               or args.bitstream_dir):
         # fail loudly rather than silently running the RGB intake the
         # user asked to avoid
         raise SystemExit(
-            "--intake ycbcr requires correct-mode --stream without "
-            "--workdir/--bitstream-dir"
+            f"--intake {args.intake} requires correct-mode --stream "
+            "without --workdir/--bitstream-dir"
         )
     t0 = time.perf_counter()
     if use_stream:
@@ -157,15 +159,20 @@ def main(argv=None) -> int:
             data = open(args.output, "rb").read()
         elif use_stream:
             # bounded-memory path: decode batch N+1 while encoding batch N
-            use_planes = (args.intake != "rgb" and not args.bitstream_dir
-                          and source.supports_planes())
-            if args.intake == "ycbcr" and not use_planes:
+            staged_ok = (not args.bitstream_dir and source.supports_planes())
+            if args.intake in ("ycbcr", "coeffs") and not staged_ok:
                 raise SystemExit(
-                    "--intake ycbcr needs 3-component 2x2-subsampled "
-                    "JPEGs and the native staged decoder"
+                    f"--intake {args.intake} needs 3-component "
+                    "2x2-subsampled JPEGs and the native staged decoder"
                 )
             chunks = []
-            if use_planes:
+            if args.intake == "coeffs":
+                g = source.geometry
+                for start, (yc, cbc, crc) in source.coeff_batches(args.batch):
+                    chunks.append(enc.encode_from_coeffs(
+                        yc, cbc, crc, g["height"], g["width"],
+                        first_frame_index=start))
+            elif args.intake != "rgb" and staged_ok:
                 for start, (y, cb, cr) in source.plane_batches(args.batch):
                     chunks.append(
                         enc.encode_from_planes(y, cb, cr,

@@ -139,3 +139,16 @@ class FolderFrameSource:
     def plane_batches(self, batch_size: int):
         """Yield (start_index, (y, cb, cr)) with lookahead decode."""
         yield from self._lookahead(self.planes, batch_size)
+
+    def coeffs(self, start: int, end: int):
+        """Decode [start, end) to dequantized int16 coefficient blocks
+        (host does entropy decode ONLY; ~1.5x faster than planes on the
+        host, 2x the bytes) for
+        MPEG1IntraEncoder.encode_from_coeffs."""
+        return jpeg_io.decode_coeffs_batch(
+            self.paths[start:end], self.geometry, self.n_threads
+        )
+
+    def coeff_batches(self, batch_size: int):
+        """Yield (start_index, (yc, cbc, crc)) with lookahead decode."""
+        yield from self._lookahead(self.coeffs, batch_size)

@@ -196,3 +196,25 @@ def test_encode_from_planes_fuzz_sizes(rng):
             quality=q, backend="numpy"
         ).encode_from_planes(y, subsample_420(cb, np), subsample_420(cr, np))
         assert es_pl == es_rgb, (h, w, q)
+
+
+def test_cli_stream_coeffs_intake(tmp_path, rng):
+    """mpeg-encode --stream --intake coeffs (device-IDCT path) produces
+    the same stream as the ycbcr intake."""
+    from PIL import Image
+
+    from ec504_imageencoder_tpu.cli import main
+
+    for i in range(4):
+        img = rng.integers(0, 256, (64, 96, 3), dtype=np.uint8)
+        Image.fromarray(img).save(str(tmp_path / f"f{i}.jpg"),
+                                  quality=85, subsampling=2)
+    out_c = str(tmp_path / "c.mpeg")
+    out_y = str(tmp_path / "y.mpeg")
+    assert main([str(tmp_path), "-o", out_c, "--stream", "--intake",
+                 "coeffs", "--backend", "numpy", "--batch", "2",
+                 "-q", "45"]) == 0
+    assert main([str(tmp_path), "-o", out_y, "--stream", "--intake",
+                 "ycbcr", "--backend", "numpy", "--batch", "2",
+                 "-q", "45"]) == 0
+    assert open(out_c, "rb").read() == open(out_y, "rb").read()
