@@ -44,7 +44,16 @@ class FolderFrameSource:
         self.paths = jpeg_io.scan_folder(folder)
         if not self.paths:
             raise ValueError(f"no decodable images found in {folder}")
-        probe = jpeg_io.decode_jpeg(self.paths[0], require_exact)
+        try:
+            probe = jpeg_io.decode_jpeg(self.paths[0], require_exact)
+        except RuntimeError:
+            raise  # compat-exactness requirement, not a decode failure
+        except Exception as e:
+            # normalize decoder-specific errors (PIL etc.) to the
+            # streaming intake's fail-fast ValueError contract
+            raise ValueError(
+                f"decode failure: {self.paths[0]} ({e})"
+            ) from e
         self.height, self.width = probe.shape[:2]
         self._probe = probe
 
@@ -74,7 +83,12 @@ class FolderFrameSource:
                 raise ValueError(f"{kind}: {paths[i]} (streaming intake is fail-fast)")
             return out
         for i, p in enumerate(paths):
-            img = jpeg_io.decode_jpeg(p, self.require_exact)
+            try:
+                img = jpeg_io.decode_jpeg(p, self.require_exact)
+            except RuntimeError:
+                raise
+            except Exception as e:
+                raise ValueError(f"decode failure: {p} ({e})") from e
             if img.shape[:2] != (self.height, self.width):
                 raise ValueError(
                     f"dimension mismatch: {p} is {img.shape}, expected "

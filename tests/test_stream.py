@@ -81,3 +81,31 @@ def test_stream_plugs_into_checkpointed_encode(jpeg_folder, tmp_path):
     enc2 = MPEG1IntraEncoder(quality=45, backend="numpy", gop_size=4)
     encode_resumable(src, len(src), str(tmp_path / "wd"), out, encoder=enc2)
     assert open(out, "rb").read() == ref
+
+
+def test_streaming_error_surface_is_valueerror(tmp_path, rng):
+    """Fail-fast contract: corrupt files anywhere in the folder —
+    including paths[0], whose probe runs in the constructor — surface as
+    ValueError, not decoder-internal exception types (r5 soak found a
+    raw PIL.UnidentifiedImageError leaking from the probe)."""
+    from PIL import Image
+
+    from ec504_imageencoder_tpu.io.stream import FolderFrameSource
+
+    for i in range(3):
+        img = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+        Image.fromarray(img).save(str(tmp_path / f"f{i}.jpg"),
+                                  quality=85, subsampling=2)
+    (tmp_path / "f1.jpg").write_bytes(b"\xff\xd8garbage")
+    src = FolderFrameSource(str(tmp_path))
+    src.paths.sort()
+    with pytest.raises(ValueError):
+        for _ in src.plane_batches(2):
+            pass
+    with pytest.raises(ValueError):
+        for _ in src.batches(2):
+            pass
+    # corrupt FIRST file: constructor probe must raise ValueError too
+    (tmp_path / "f0.jpg").write_bytes(b"\xff\xd8garbage")
+    with pytest.raises(ValueError):
+        FolderFrameSource(str(tmp_path))
