@@ -218,3 +218,30 @@ def test_cli_stream_coeffs_intake(tmp_path, rng):
                  "ycbcr", "--backend", "numpy", "--batch", "2",
                  "-q", "45"]) == 0
     assert open(out_c, "rb").read() == open(out_y, "rb").read()
+
+
+def test_api_encode_jpeg_folder(tmp_path, rng):
+    """The one-call streaming API: all three intakes agree and decode."""
+    from PIL import Image
+
+    from ec504_imageencoder_tpu.api import encode_jpeg_folder
+    from ec504_imageencoder_tpu.models.decoder import decode_stream
+
+    folder = tmp_path / "jpgs"
+    folder.mkdir()
+    for i in range(5):
+        img = rng.integers(0, 256, (64, 96, 3), dtype=np.uint8)
+        Image.fromarray(img).save(str(folder / f"f{i}.jpg"),
+                                  quality=85, subsampling=2)
+    outs = {}
+    for intake in ("ycbcr", "coeffs", "rgb"):
+        p = str(tmp_path / f"{intake}.mpeg")
+        n = encode_jpeg_folder(str(folder), p, quality=45, batch_size=2,
+                               intake=intake)
+        outs[intake] = open(p, "rb").read()
+        assert n == len(outs[intake])
+    assert outs["ycbcr"] == outs["coeffs"]
+    # rgb intake differs in bytes (extra colorspace round trip) but must
+    # decode the same frame count
+    assert len(decode_stream(outs["rgb"])) == 5
+    assert len(decode_stream(outs["ycbcr"])) == 5
